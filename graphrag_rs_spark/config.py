@@ -1,0 +1,53 @@
+"""Pipeline configuration.
+
+Mirrors the reference's config surface (reference: graphrag-core/src/config/mod.rs:844-895
+defaults) with only the knobs the indexing path consumes. Everything else
+(LLM endpoints, caches, server) is out of scope for a batch Spark engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # Chunking (reference: config/mod.rs:850-855)
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+
+    # Entity extraction (reference: config/mod.rs:859-867).  NOTE: the
+    # reference's *config* default is ["PERSON","ORG","LOCATION"], where
+    # "ORG" silently falls through to the generic extractor
+    # (entity/mod.rs:170-173) and yields nothing above min_confidence.
+    # We default to the EntityExtractor::new semantics
+    # (entity/mod.rs:110-116): PERSON / ORGANIZATION / LOCATION.
+    entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
+    min_confidence: float = 0.7
+
+    # Relationship emission (reference: config/mod.rs:887-889, lib.rs:561-568)
+    relationship_confidence: float = 0.5
+    extract_relationships: bool = True
+
+    # Canonicalization (reference: entity/string_similarity_linker.rs:40-52)
+    link_min_similarity: float = 0.85
+    link_max_edit_distance: int = 2
+    link_use_phonetic: bool = False
+
+    # Spark-side scale knobs (no reference counterpart; cluster tuning)
+    shuffle_partitions: int = 32
+    salt_buckets: int = 8          # salting fan-out for skewed conversations
+    cc_max_iterations: int = 50    # safety bound for the CC join loop
+    arrow_batch_size: int = 2048
+
+    def spark_confs(self) -> dict[str, str]:
+        return {
+            "spark.sql.shuffle.partitions": str(self.shuffle_partitions),
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(self.arrow_batch_size),
+        }
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's standard tuning.
+
+Local mode here; on a real cluster the same confs apply, plus whatever
+the submitter sets (executors, memory).  AQE owns runtime re-planning
+(skew joins, partition coalescing); we only pin what AQE can't infer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from graphrag_rs_spark.config import PipelineConfig, DEFAULT_CONFIG
+
+
+def get_spark(
+    app_name: str = "graphrag_rs_spark",
+    master: str | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = {
+        **cfg.spark_confs(),
+        "spark.ui.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+        # stable codegen-heavy plans; python workers reused across batches
+        "spark.python.worker.reuse": "true",
+        "spark.driver.maxResultSize": "2g",
+    }
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

