@@ -1,0 +1,74 @@
+"""Checkpoint / resume (I1-I3): kill-after-stage-k → rerun → identical
+outputs; lineage table carries per-partition rows + checksums."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.config import DEFAULT_CONFIG
+from graphrag_rs_spark.stages.checkpoint import CheckpointManager
+from graphrag_rs_spark.stages.pipeline import run_pipeline_checkpointed
+
+
+def _triples(res):
+    return {(r["subj"], r["pred"], r["obj"])
+            for r in res.canonical_triples.collect()}
+
+
+def test_checkpointed_run_and_resume(spark, tiny_transcripts, tiny_oracle, tmp_path):
+    wd = str(tmp_path / "wd")
+    res1 = run_pipeline_checkpointed(
+        spark, tiny_transcripts, workdir=wd, run_id="r1")
+    t1 = _triples(res1)
+    assert t1 == tiny_oracle.triple_set(canonical=True)
+
+    # all stages committed, per-partition lineage present
+    ck = spark.read.parquet(os.path.join(wd, "_checkpoints"))
+    stages = {r["stage"] for r in ck.filter(
+        (F.col("partition_id") == -1) & (F.col("status") == "committed")
+    ).collect()}
+    assert {"documents", "chunks", "chunk_entities", "entities", "mentions",
+            "triples", "canonical_map", "canonical_triples",
+            "canonical_entities", "communities"} <= stages
+    per_part = ck.filter(F.col("partition_id") >= 0)
+    assert per_part.count() > 0
+    # summary rows equal the sum of their partition rows
+    sums = (per_part.groupBy("stage").agg(F.sum("rows").alias("s"))
+            .join(ck.filter(F.col("partition_id") == -1)
+                  .select("stage", F.col("rows").alias("total")), "stage"))
+    assert sums.filter(F.col("s") != F.col("total")).count() == 0
+
+
+def test_resume_after_partial_failure(spark, tiny_transcripts, tiny_oracle, tmp_path):
+    """Simulate a kill: run only the first 3 stages, then resume the full
+    pipeline — completed stages are loaded, not recomputed, and the final
+    triples match the oracle."""
+    wd = str(tmp_path / "wd2")
+    from graphrag_rs_spark.stages import chunking, extraction
+
+    ck = CheckpointManager(spark, wd, "r1")
+    documents = ck.run_stage(
+        "documents", lambda: chunking.assemble_documents(tiny_transcripts))
+    chunks = ck.run_stage(
+        "chunks", lambda: chunking.chunk_documents(documents, DEFAULT_CONFIG, 8))
+    ck.run_stage(
+        "chunk_entities",
+        lambda: extraction.extract_chunk_entities(chunks, DEFAULT_CONFIG))
+    # "killed" here — now a fresh driver resumes the whole pipeline
+    sentinel = os.path.getmtime(os.path.join(wd, "chunks"))
+    res = run_pipeline_checkpointed(
+        spark, tiny_transcripts, workdir=wd, run_id="r1", resume=True)
+    assert _triples(res) == tiny_oracle.triple_set(canonical=True)
+    # completed stage was not rewritten
+    assert os.path.getmtime(os.path.join(wd, "chunks")) == sentinel
+
+
+def test_no_resume_recomputes(spark, tiny_transcripts, tmp_path):
+    wd = str(tmp_path / "wd3")
+    res1 = run_pipeline_checkpointed(
+        spark, tiny_transcripts, workdir=wd, run_id="r1")
+    t1 = _triples(res1)
+    res2 = run_pipeline_checkpointed(
+        spark, tiny_transcripts, workdir=wd, run_id="r2", resume=False)
+    assert _triples(res2) == t1
