@@ -1,0 +1,79 @@
+"""PageRank as an iterative DataFrame join loop (reference graph/pagerank.rs).
+
+The reference's dense/sparse kernel switch (pagerank.rs:91-113) is
+irrelevant on Spark — edges stay a DataFrame at any scale; each power
+iteration (`s' = (1-d)/N + d·Pᵀs`, damping 0.85, pagerank.rs:17-52) is one
+shuffle on dst.  Dangling nodes' mass is redistributed uniformly (the
+standard correction).  Lineage is cut with localCheckpoint every few
+iterations so 100-iteration runs don't build a 100-stage plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 5,
+    weighted: bool = False,
+) -> DataFrame:
+    """→ (node, rank) after `iterations` power steps (fixed-iteration form,
+    exactly reproducible by an unrolled SQL oracle).
+
+    `edges`: (src, dst[, weight]); direction src→dst.  Nodes = all ids on
+    either side.  rank is rounded to 8 dp at the end only.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    wcol = F.col("weight") if weighted else F.lit(1.0)
+    out_w = edges.groupBy("src").agg(F.sum(wcol).alias("out_w"))
+    norm_edges = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (wcol / F.col("out_w")).alias("p"))
+        .persist()
+    )
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contrib = (
+            norm_edges
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("in_rank"))
+        )
+        # dangling mass: rank sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(out_w.withColumnRenamed("src", "node"), "node",
+                       "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("in_rank"), F.lit(0.0))
+                    + F.lit(dangling / n))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    out = ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))
+    nodes.unpersist()
+    norm_edges.unpersist()
+    return out

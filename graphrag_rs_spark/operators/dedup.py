@@ -1,0 +1,202 @@
+"""Deduplication family for training-data pipelines.
+
+All four operators are pure Catalyst expressions (no Python UDFs):
+
+  exact_duplicates   — hash-groupBy on normalized text
+  ngram_jaccard_pairs— character-shingle Jaccard via shared-shingle
+                       self-join (the inverted-index trick: only pairs
+                       sharing ≥1 shingle are scored, never O(n²))
+  minhash_lsh_pairs  — MinHash signatures (md5-seeded min over shingles)
+                       banded into LSH buckets; candidate pairs = bucket
+                       collisions.  Scale path for the jaccard join.
+  simhash            — 32-bit SimHash from token hashes (bit-majority).
+
+Scale notes (100 TB posture): every join here keys on a content-derived
+value (shingle / band hash), so partitioning is uniform by construction
+except for pathological shingles (e.g. "aaaaa"); `max_shingle_df` drops
+shingles whose document frequency explodes the pair fan-out — the classic
+stop-shingle treatment, counted not silent.  MinHash keeps the shuffle
+volume at O(n · bands) regardless of document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphrag_rs_spark.functions.hashing import h60, norm_text, char_shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """→ (doc_id, text_hash, group_size, is_canonical).
+
+    Canonical member = min doc_id of the hash group (deterministic).
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        h60(norm_text(text_col)).alias("text_hash"),
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return (
+        hashed.join(groups, "text_hash")
+        .select(
+            "doc_id", "text_hash", "group_size",
+            (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
+        )
+    )
+
+
+def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
+                   k: int, max_shingle_df: int | None) -> DataFrame:
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(text_col, k)).alias("shingle"),
+    ).distinct()
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").count()
+        sh = sh.join(
+            F.broadcast(dfreq.filter(F.col("count") > max_shingle_df)
+                        .select("shingle")),
+            "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard) for pairs with J ≥ threshold, doc_a < doc_b.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct k-char shingles.
+    """
+    sh = _shingle_table(docs, id_col, text_col, k, max_shingle_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter")
+             / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """→ (doc_id, hash_idx, minhash): num_hashes md5-seeded min-hashes.
+
+    hash_i(shingle) = h60(shingle || '#' || i); signature_i = min over
+    the doc's shingles.  One explode + one groupBy; engine-portable.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_shingles(text_col, k)).alias("shingle"),
+    ).distinct()
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
+        "shingle",
+    ).select(
+        "doc_id", "hash_idx",
+        h60(F.concat_ws("#", F.col("shingle"),
+                        F.col("hash_idx").cast("string"))).alias("h"),
+    )
+    return seeded.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """→ candidate near-dup pairs (doc_a, doc_b, n_bands) from banded LSH.
+
+    rows_per_band = num_hashes // bands; a pair collides if any band of
+    its signatures is identical.  n_bands = how many bands matched.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    band_hash = (
+        sig.withColumn("band",
+                       F.floor(F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(h60(F.concat_ws(
+            ",", F.sort_array(F.collect_list(
+                F.concat_ws(":", F.lpad(F.col("hash_idx").cast("string"),
+                                        2, "0"),
+                            F.col("minhash").cast("string")))))
+        ).alias("band_key"))
+    )
+    a, b = band_hash.alias("a"), band_hash.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """→ (doc_id, simhash): bit-majority fingerprint over token hashes.
+
+    For each bit b: sum over tokens of (+1 if bit set else -1); the
+    fingerprint sets bit b iff the sum is positive.  Near-dup docs differ
+    in few bits (hamming distance on the bigint).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"filter(split(trim(regexp_replace(lower({text_col}),"
+                   " '[^a-z0-9]+', ' ')), ' '), x -> x != '')")
+        ).alias("tok"),
+    )
+    hashed = toks.select("doc_id", h60("tok").alias("h"))
+    per_bit = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, bit) % 2") == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias("balance")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("balance") > 0,
+                   F.expr("cast(pow(2, bit) as bigint)"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,154 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (JVM-side, codegen-friendly, pushdown-safe):
+
+  token_stats     — whitespace + word-regex token counts, char counts
+  quality_scores  — length / punctuation / stopword / word-length signals
+                    fused into a deterministic [0,1] quality score
+  language_id     — marker-word n-gram heuristic over small per-language
+                    lexicons (broadcast-joined)
+  fingerprints    — winnowing document fingerprints: k-gram hashes, window
+                    minimum over w consecutive positions (Schleimer et al.,
+                    SIGMOD'03) — the standard near-dup/plagiarism sketch
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graphrag_rs_spark.functions.hashing import h60
+
+# Small, fixed marker lexicons (top function words per language).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+    "es": ("el", "la", "los", "y", "es", "en", "que", "una", "por", "con"),
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "as", "at", "by", "be", "on",
+                                  "or", "with", "this", "are", "from")
+
+_TOKENIZE = ("filter(split(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ')),"
+             " ' '), x -> x != '')")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_chars, n_ws_tokens, n_word_tokens, n_distinct_tokens)."""
+    toks = F.expr(_TOKENIZE.format(c=text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(text_col), r"\s+")).cast("bigint")
+        .alias("n_ws_tokens"),
+        F.size(toks).cast("bigint").alias("n_word_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """→ (doc_id, punct_ratio, stopword_ratio, mean_word_len, quality).
+
+    quality = mean of three bounded signals: length band, stopword presence
+    band, and punctuation sanity — deterministic, rounded to 6 dp.
+    """
+    toks = F.expr(_TOKENIZE.format(c=text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tok, F.lit(1)), 6)
+
+    len_signal = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    stop_signal = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1.0) \
+        .otherwise(0.0)
+    punct_signal = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_wl.alias("mean_word_len"),
+        F.round((len_signal + stop_signal + punct_signal) / 3.0, 6)
+        .alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """→ (doc_id, lang, score): argmax marker-hit count per language.
+
+    Ties break by language code ascending; docs with zero marker hits get
+    lang='und', score=0.
+    """
+    spark = docs.sparkSession
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_MARKERS.items())
+         for w in words],
+        "cand_lang string, marker string")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENIZE.format(c=text_col))).alias("tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(lex), toks["tok"] == lex["marker"])
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang").asc())
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("lang"),
+                F.col("hits").cast("bigint").alias("score"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("und")).alias("lang"),
+            F.coalesce("score", F.lit(0)).cast("bigint").alias("score"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing: → (doc_id, n_fingerprints, min_fingerprint).
+
+    k-gram hashes over the normalized text; a fingerprint is the minimum
+    hash in each window of w consecutive k-grams; the distinct set
+    identifies a document robustly under edits.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+                lambda i: F.substring(norm, i, k),
+            )
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", h60("gram").alias("gh"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    fp = grams.select("doc_id", F.min("gh").over(win).alias("fp")).distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )
