@@ -75,7 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return res.canonical_triples.select(
         "subj", "pred", "obj",
         F.round("confidence", 2).alias("confidence"),
-        F.size("context_chunks").alias("n_context"),
+        "n_context",
     )
 
 
@@ -99,7 +99,7 @@ def q_kg_triples(spark, sf_dir):
     return res.canonical_triples.select(
         "subj", "pred", "obj",
         F.round("confidence", 2).alias("confidence"),
-        F.size("context_chunks").alias("n_context"))
+        "n_context")
 
 
 def q_kg_canonical_map(spark, sf_dir):

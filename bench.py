@@ -1,0 +1,142 @@
+"""Benchmark harness: headline operators at $SPARK_GRAFT_SF_DIR.
+
+    python bench.py                  # one JSON line (driver contract)
+    python bench.py --scaling        # same job at local[8] and local[32]
+                                     # → throughput + scaling efficiency
+
+Design notes:
+  - every query materializes via the JVM-side noop sink (full compute,
+    no driver collect, no disk)
+  - the kg_pipeline entry is the north-rule metric: synthetic seeded
+    transcripts (scale via SPARK_GRAFT_KG_CONVS, default 2000) through
+    chunk → extract → triples → canonicalize(CC) → communities;
+    reported as turns/sec
+  - dedup_jaccard is intentionally absent: its all-pairs shingle join is
+    the quadratic path minhash_lsh replaces at scale
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_kg(spark, kg_convs: int, parallelism: int) -> dict[str, float]:
+    """North-rule job: seeded transcripts → canonical graph, turns/sec."""
+    from graphrag_rs_spark.datagen import ensure_transcripts
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.pipeline import run_pipeline
+
+    path = ensure_transcripts(kg_convs, max_turns=120, seed=42)
+    transcripts = spark.read.parquet(path) \
+        .repartition(parallelism).cache()
+    n_turns = transcripts.count()
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, DEFAULT_CONFIG,
+                       num_partitions=parallelism)
+    _noop(res.canonical_triples)
+    _noop(res.communities)
+    _noop(res.mentions)
+    dt = round(time.time() - t0, 3)
+    return {"kg_pipeline": dt, "_kg_turns": n_turns,
+            "_kg_turns_per_sec": round(n_turns / dt, 1)}
+
+
+def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
+    import __spark_entry__ as entry
+    from graphrag_rs_spark.operators.similarity import lsh_buckets
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- north-rule pipeline: transcripts → canonical graph ---
+    timings.update(bench_kg(
+        spark, kg_convs, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+
+    # --- operator suite over the driver-provided sf tables ---
+    q = entry.queries()
+    for name in ("dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
+                 "dedup_simhash", "token_stats", "quality_scores",
+                 "language_id", "fingerprints", "tfidf_topk", "bm25",
+                 "embedding_knn", "embedding_centroids", "graph_degree",
+                 "pagerank", "events_hourly", "sessions"):
+        run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
+    run("ann_lsh_buckets", lambda: _noop(lsh_buckets(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))))
+    return timings
+
+
+def one_run(master: str, sf_dir: str, kg_convs: int,
+            kg_only: bool = False, parallelism: int | None = None) -> dict:
+    from graphrag_rs_spark.session import get_spark
+    from graphrag_rs_spark.config import PipelineConfig
+
+    par = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", master=master,
+                      cfg=PipelineConfig(shuffle_partitions=par))
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    if kg_only:
+        timings = bench_kg(spark, kg_convs, par)
+    else:
+        timings = bench_queries(spark, sf_dir, kg_convs)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+    return {"total_sec": total, "timings": timings}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "2000"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+
+    if "--scaling" in sys.argv:
+        # north-rule scaling probe: same job at N and 4N cores
+        lo, hi = 8, 32
+        r_lo = one_run(f"local[{lo}]", sf_dir, kg_convs,
+                       kg_only=True, parallelism=lo)
+        r_hi = one_run(f"local[{hi}]", sf_dir, kg_convs,
+                       kg_only=True, parallelism=hi)
+        tput_lo = r_lo["timings"]["_kg_turns_per_sec"]
+        tput_hi = r_hi["timings"]["_kg_turns_per_sec"]
+        eff = round((tput_hi / tput_lo) / (hi / lo), 3)
+        print(json.dumps({
+            "metric": "kg scaling efficiency local[8]→local[32]",
+            "value": eff, "unit": "ratio", "sf": sf,
+            "turns": r_lo["timings"]["_kg_turns"],
+            "turns_per_sec_8": tput_lo, "turns_per_sec_32": tput_hi,
+            "kg_sec_8": r_lo["timings"]["kg_pipeline"],
+            "kg_sec_32": r_hi["timings"]["kg_pipeline"],
+            "total_sec_8": r_lo["total_sec"],
+            "total_sec_32": r_hi["total_sec"],
+        }))
+        return
+
+    res = one_run(f"local[{cpus}]", sf_dir, kg_convs)
+    timings = res["timings"]
+    queries = {k: v for k, v in timings.items() if not k.startswith("_")}
+    print(json.dumps({
+        "metric": "indexing+operator suite wall time "
+                  f"(kg {timings['_kg_turns']} turns @ "
+                  f"{timings['_kg_turns_per_sec']} turns/sec)",
+        "value": res["total_sec"], "unit": "sec",
+        "queries": queries, "sf": float(sf),
+        "kg_turns_per_sec": timings["_kg_turns_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iterations: int = 10,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     weighted: bool = False,
 ) -> DataFrame:
     """→ (node, rank) after `iterations` power steps (fixed-iteration form,
@@ -44,6 +44,13 @@ def pagerank(
         .persist()
     )
 
+    # dangling nodes are a static set — find them once; graphs without
+    # them (e.g. symmetrized edges) skip the per-iteration driver sync
+    dangling_nodes = nodes.join(
+        out_w.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling_nodes.count() > 0
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iterations):
@@ -53,13 +60,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("in_rank"))
         )
-        # dangling mass: rank sitting on nodes with no out-edges
-        dangling = (
-            ranks.join(out_w.withColumnRenamed("src", "node"), "node",
-                       "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .collect()[0]["dm"]
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+                .collect()[0]["dm"]
+            )
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
@@ -70,10 +77,13 @@ def pagerank(
                     + F.lit(dangling / n))).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        # materialize each step: the next iteration (and the dangling
+        # aggregate) must not recompute the whole prefix of the loop
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
 
     out = ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))
     nodes.unpersist()
     norm_edges.unpersist()
+    dangling_nodes.unpersist()
     return out

@@ -47,6 +47,12 @@ class PipelineConfig:
             "spark.sql.adaptive.skewJoin.enabled": "true",
             "spark.sql.execution.arrow.pyspark.enabled": "true",
             "spark.sql.execution.arrow.maxRecordsPerBatch": str(self.arrow_batch_size),
+            # collect_set/collect_list aggregates (context folding) fall
+            # back to sort-based aggregation after 128 groups by default —
+            # pathological for high-cardinality triple keys; keep the
+            # hash path (groups are small sets of short strings)
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold":
+                "5000000",
         }
 
 

@@ -145,6 +145,19 @@ def write_parquet(path: str, n_convs: int, seed: int = 42,
     return len(rows)
 
 
+def ensure_transcripts(n_convs: int, max_turns: int = 120, seed: int = 42,
+                       data_dir: str = "/root/repo/data") -> str:
+    """Idempotently materialize transcripts at an arbitrary size; returns
+    the parquet path (benchmarks read this instead of driver-side lists)."""
+    import os
+    path = os.path.join(
+        data_dir, f"transcripts_c{n_convs}_t{max_turns}_s{seed}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(data_dir, exist_ok=True)
+        write_parquet(path, n_convs, seed=seed, max_turns=max_turns)
+    return path
+
+
 def ensure_scale(scale: str, data_dir: str = "/root/repo/data") -> str:
     """Idempotently materialize a named scale; returns the parquet path."""
     import os

@@ -96,39 +96,41 @@ def knn_graph(vectors: DataFrame, k: int = 2, id_col: str = "vec_id",
     ).distinct()
 
 
+def plane_signs(n_planes: int, dim: int, seed: str = "rhp") -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix from md5(seed:p:d) parity —
+    no RNG state, reproducible across engines and machines."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] % 2 == 0
+         else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_buckets(vectors: DataFrame, n_planes: int = 8,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                seed: str = "rhp") -> DataFrame:
-    """→ (vec_id, bucket): sign-bit sketch under deterministic pseudo-planes.
+                seed: str = "rhp", dim: int | None = None) -> DataFrame:
+    """→ (vec_id, bucket): sign-bit sketch under deterministic hyperplanes.
 
-    Plane p's component for dimension d = ±1 chosen by the parity of
-    h60("{seed}:{p}:{d}") — engine-portable, no stored model.  Bucket =
-    integer of the n_planes sign bits.  Self-join on bucket bounds ANN
-    candidate generation to ~n²/2^n_planes pairs.
+    The ±1 planes are literal arrays baked into the plan (`plane_signs`)
+    — effectively a broadcast model with zero storage.  Bucket = integer
+    of the n_planes sign bits; self-join on bucket bounds ANN candidate
+    generation to ~n²/2^n_planes pairs.
     """
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).head()
+        dim = int(first["d"]) if first else 0
+    planes = plane_signs(n_planes, dim, seed)
+
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).cast("array<double>").alias("vv"))
-    sketch_bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("vv"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("vv") - 1),
-                    lambda d, p=p: F.when(
-                        h60(F.concat_ws(":", F.lit(seed), F.lit(str(p)),
-                                        d.cast("string"))) % 2 == 0,
-                        F.lit(1.0)).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0), lambda acc, val: acc + val,
-        )
-        sketch_bits.append(
-            F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = sketch_bits[0]
-    for bit in sketch_bits[1:]:
-        bucket = bucket + bit
+    bucket = F.lit(0)
+    for p, signs in enumerate(planes):
+        plane = F.array(*[F.lit(s) for s in signs])
+        proj = F.aggregate(F.zip_with(F.col("vv"), plane, lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, val: acc + val)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return v.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 

@@ -25,7 +25,20 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = {
         **cfg.spark_confs(),
+        # local-mode JVM hosts all executor threads — size the heap for
+        # them (ignored when a cluster submitter sets its own memory)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                              "48g"),
+        # Arrow's JNI critical sections trigger GCLocker allocation storms
+        # with many executor threads (retry instead of stalling the world);
+        # ParallelGC beats G1 for this batch/throughput profile — the
+        # object aggregates allocate in bursts that G1 promotes too eagerly
+        "spark.driver.extraJavaOptions":
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100 "
+            "-XX:+UseParallelGC",
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.session.timeZone": "UTC",
         # stable codegen-heavy plans; python workers reused across batches
         "spark.python.worker.reuse": "true",

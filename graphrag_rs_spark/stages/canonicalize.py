@@ -150,13 +150,19 @@ def canonical_map(
     )
 
 
-def rewrite_triples(triples: DataFrame, canonical: DataFrame) -> DataFrame:
-    """L5: re-point triple endpoints at canonical ids (broadcast alias map),
-    then re-dedup (R4).  Identity rows may be omitted from `canonical`."""
+def rewrite_triple_mentions(triple_mentions: DataFrame,
+                            canonical: DataFrame) -> DataFrame:
+    """L5 on the FLAT form: re-point (chunk_id, subj, pred, obj) endpoints
+    through the broadcast alias map (the north rule's hot-alias-dictionary
+    broadcast), dedup rows that collapse onto the same canonical triple.
+
+    Identity rows may be omitted from `canonical`.  Stays codegen-only —
+    no object aggregation here (see triples.triples_with_context).
+    """
     alias_map = F.broadcast(canonical.filter(
         F.col("entity_id") != F.col("canonical_id")))
-    t = (
-        triples
+    return (
+        triple_mentions
         .join(alias_map.withColumnRenamed("entity_id", "subj")
               .withColumnRenamed("canonical_id", "subj_canon"),
               "subj", "left")
@@ -164,20 +170,10 @@ def rewrite_triples(triples: DataFrame, canonical: DataFrame) -> DataFrame:
               .withColumnRenamed("canonical_id", "obj_canon"),
               "obj", "left")
         .select(
+            "chunk_id",
             F.coalesce("subj_canon", "subj").alias("subj"),
             "pred",
             F.coalesce("obj_canon", "obj").alias("obj"),
-            "confidence",
-            "context_chunks",
         )
-    )
-    return (
-        t.select("subj", "pred", "obj", "confidence",
-                 F.explode("context_chunks").alias("chunk_id"))
-        .groupBy("subj", "pred", "obj")
-        .agg(
-            F.max("confidence").alias("confidence"),
-            F.sort_array(F.collect_set("chunk_id")).alias("context_chunks"),
-        )
-        .select("subj", "pred", "obj", "confidence", "context_chunks")
+        .distinct()
     )

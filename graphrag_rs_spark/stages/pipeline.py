@@ -30,8 +30,10 @@ class PipelineResult:
     chunk_entities: DataFrame
     entities: DataFrame
     mentions: DataFrame
-    triples: DataFrame
+    triple_mentions: DataFrame          # flat (chunk_id, subj, pred, obj)
+    triples: DataFrame                  # + confidence, context_chunks
     canonical_map: DataFrame
+    canonical_triple_mentions: DataFrame
     canonical_triples: DataFrame
     canonical_entities: DataFrame
     communities: DataFrame
@@ -53,15 +55,17 @@ def run_pipeline(
     chunk_entities = extraction.extract_chunk_entities(chunks, cfg).persist()
     entities = extraction.entities_table(chunk_entities)
     mentions = extraction.mentions_table(chunk_entities)
-    raw_triples = triples_mod.emit_triples(chunk_entities, chunks, cfg)
+    flat = triples_mod.emit_triple_mentions(chunk_entities, chunks, cfg)
 
     entities = entities.persist()
-    raw_triples = raw_triples.persist()
+    # flat is NOT persisted: its producer join is cheap to recompute from
+    # the persisted chunk_entities, and caching 10⁷+ wide rows costs more
+    # than both downstream recomputes combined (measured)
 
     canon = canonicalize.canonical_map(entities, cfg).persist()
-    canon_triples = canonicalize.rewrite_triples(raw_triples, canon).persist()
+    canon_flat = canonicalize.rewrite_triple_mentions(flat, canon).persist()
     canon_entities = materialize.canonical_entities(entities, canon)
-    comms = materialize.communities(canon_entities, canon_triples,
+    comms = materialize.communities(canon_entities, canon_flat,
                                     max_iterations=cfg.cc_max_iterations)
 
     return PipelineResult(
@@ -70,9 +74,11 @@ def run_pipeline(
         chunk_entities=chunk_entities,
         entities=entities,
         mentions=mentions,
-        triples=raw_triples,
+        triple_mentions=flat,
+        triples=triples_mod.triples_with_context(flat, cfg),
         canonical_map=canon,
-        canonical_triples=canon_triples,
+        canonical_triple_mentions=canon_flat,
+        canonical_triples=triples_mod.triples_with_context(canon_flat, cfg),
         canonical_entities=canon_entities,
         communities=comms,
     )
@@ -105,27 +111,36 @@ def run_pipeline_checkpointed(
         "entities", lambda: extraction.entities_table(chunk_entities), resume)
     mentions = ck.run_stage(
         "mentions", lambda: extraction.mentions_table(chunk_entities), resume)
+    flat = ck.run_stage(
+        "triple_mentions",
+        lambda: triples_mod.emit_triple_mentions(chunk_entities, chunks, cfg),
+        resume)
     raw_triples = ck.run_stage(
-        "triples",
-        lambda: triples_mod.emit_triples(chunk_entities, chunks, cfg), resume)
+        "triples", lambda: triples_mod.triples_with_context(flat, cfg),
+        resume)
     canon = ck.run_stage(
         "canonical_map", lambda: canonicalize.canonical_map(entities, cfg),
         resume)
+    canon_flat = ck.run_stage(
+        "canonical_triple_mentions",
+        lambda: canonicalize.rewrite_triple_mentions(flat, canon), resume)
     canon_triples = ck.run_stage(
         "canonical_triples",
-        lambda: canonicalize.rewrite_triples(raw_triples, canon), resume)
+        lambda: triples_mod.triples_with_context(canon_flat, cfg), resume)
     canon_entities = ck.run_stage(
         "canonical_entities",
         lambda: materialize.canonical_entities(entities, canon), resume)
     comms = ck.run_stage(
         "communities",
-        lambda: materialize.communities(canon_entities, canon_triples,
+        lambda: materialize.communities(canon_entities, canon_flat,
                                         cfg.cc_max_iterations),
         resume)
 
     return PipelineResult(
         documents=documents, chunks=chunks, chunk_entities=chunk_entities,
-        entities=entities, mentions=mentions, triples=raw_triples,
-        canonical_map=canon, canonical_triples=canon_triples,
+        entities=entities, mentions=mentions,
+        triple_mentions=flat, triples=raw_triples,
+        canonical_map=canon, canonical_triple_mentions=canon_flat,
+        canonical_triples=canon_triples,
         canonical_entities=canon_entities, communities=comms,
     )

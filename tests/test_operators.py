@@ -1,0 +1,143 @@
+"""Training-data operators: dedup family, text analysis, similarity —
+small hand-computable cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.operators import dedup, textstats, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "Der Hund ist nicht auf der Couch und die Katze auch nicht"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    res = {r["doc_id"]: r for r in
+           dedup.exact_duplicates(docs).collect()}
+    assert res[1]["group_size"] == 2
+    assert res[2]["group_size"] == 2
+    assert res[1]["is_canonical"] and not res[2]["is_canonical"]
+    assert res[1]["text_hash"] == res[2]["text_hash"]
+    assert res[4]["group_size"] == 1 and res[4]["is_canonical"]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert 0.5 <= pairs[(1, 3)] < 1.0    # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"]
+             for r in dedup.minhash_lsh_pairs(docs, bands=8).collect()}
+    assert pairs[(1, 2)] == 8            # identical → all bands collide
+    assert (1, 3) in pairs               # near dup → some band collides
+    assert (1, 4) not in pairs
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, num_hashes=16).collect()
+    assert len(sig) == 5 * 16
+    per_doc = {}
+    for r in sig:
+        per_doc.setdefault(r["doc_id"], set()).add(r["hash_idx"])
+    assert all(v == set(range(16)) for v in per_doc.values())
+
+
+def test_simhash_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_token_stats(docs):
+    r = {x["doc_id"]: x for x in textstats.token_stats(docs).collect()}
+    assert r[1]["n_ws_tokens"] == 9
+    assert r[1]["n_word_tokens"] == 9
+    assert r[1]["n_distinct_tokens"] == 8  # 'the' twice
+
+
+def test_quality_scores_ranges(docs):
+    for r in textstats.quality_scores(docs).collect():
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_language_id(docs):
+    langs = {r["doc_id"]: r["lang"]
+             for r in textstats.language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+
+
+def test_fingerprints_deterministic_and_edit_robust(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "sleepy", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id long, text string")
+    fp = {r["doc_id"]: r for r in textstats.fingerprints(df).collect()}
+    assert fp[1]["min_fingerprint"] == fp[2]["min_fingerprint"]
+    assert fp[1]["n_fingerprints"] == fp[2]["n_fingerprints"]
+    # single edit: fingerprint sets overlap heavily but need not be equal
+    assert fp[3]["n_fingerprints"] > 0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.1], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_cosine_topk(vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.cosine_topk(vecs, q, k=2).collect()
+    ranked = sorted(top, key=lambda r: r["rank"])
+    assert ranked[0]["vec_id"] == 0 and ranked[0]["sim"] == 1.0
+    assert ranked[1]["vec_id"] == 1
+
+
+def test_knn_graph_clusters(vecs):
+    edges = {(r["src"], r["dst"])
+             for r in similarity.knn_graph(vecs, k=1).collect()}
+    assert (0, 1) in edges
+    assert (2, 3) in edges
+
+
+def test_centroids(vecs):
+    c = {(r["label"], r["dim"]): r["value"]
+         for r in similarity.centroids(vecs).collect()}
+    assert math.isclose(c[(0, 0)], 0.95, rel_tol=1e-6)
+    assert math.isclose(c[(2, 2)], 1.0, rel_tol=1e-6)
+
+
+def test_lsh_buckets_deterministic(vecs):
+    b1 = {r["vec_id"]: r["bucket"]
+          for r in similarity.lsh_buckets(vecs, n_planes=6).collect()}
+    b2 = {r["vec_id"]: r["bucket"]
+          for r in similarity.lsh_buckets(vecs, n_planes=6).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())

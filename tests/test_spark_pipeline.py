@@ -78,6 +78,18 @@ def test_triple_precision_recall(result, tiny_oracle):
     assert got == want
 
 
+def test_context_chunks_match_oracle(result, tiny_oracle):
+    """Full context parity: decode the dictionary-encoded context keys
+    back to chunk-id strings and compare lists with the oracle."""
+    from graphrag_rs_spark.stages.triples import decode_context
+    decoded = decode_context(result.canonical_triples, result.chunks)
+    got = {(r["subj"], r["pred"], r["obj"]): list(r["context_chunks"])
+           for r in decoded.collect()}
+    want = {(t["subj"], t["pred"], t["obj"]): sorted(t["context_chunks"])
+            for t in tiny_oracle.canonical_triples}
+    assert got == want
+
+
 def test_communities_match_oracle(result, tiny_oracle):
     got = {(r["entity_id"], r["community"])
            for r in result.communities.collect()}
