@@ -392,12 +392,19 @@ def oracle_sql() -> dict[str, str]:
         where i / (sa.n + sb.n - i) >= 0.35
     """
 
+    from graphrag_rs_spark.operators.dedup import minhash_coeffs, \
+        MINHASH_PRIME
+    coef_rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_coeffs(16)))
     _sig_cte = f"""
         {_sh_cte},
-        seeded as (
-          select doc_id, s.i as hash_idx,
-                 {h.format(x="shingle || '#' || s.i")} as hv
-          from sh cross join (select unnest(generate_series(0, 15)) as i) s),
+        coef(hash_idx, ca, cb) as (values {coef_rows}),
+        hp as (select doc_id, ({h.format(x='shingle')} % {MINHASH_PRIME})
+                 as hp from sh),
+        seeded as (select doc_id, coef.hash_idx,
+                          (coef.ca * hp.hp + coef.cb) % {MINHASH_PRIME} as hv
+                   from hp cross join coef),
         sig as (select doc_id, hash_idx, min(hv) as minhash
                 from seeded group by doc_id, hash_idx)
     """

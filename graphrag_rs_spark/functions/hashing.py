@@ -39,12 +39,27 @@ def tokens(col: Column | str) -> Column:
         .otherwise(F.split(t, " "))
 
 
-def char_shingles(col: Column | str, k: int = 5) -> Column:
-    """Distinct k-char shingles of the normalized text (array<string>)."""
-    t = norm_text(col)
+def shingle_array(norm_col: Column | str, k: int = 5) -> Column:
+    """Distinct k-char shingles of an ALREADY-NORMALIZED column.
+
+    Callers must materialize `norm_text(...)` in a prior projection:
+    referencing the normalization chain inside the transform lambda makes
+    Catalyst re-evaluate the regexp per position (measured 5× the cost
+    of the whole shingling step).
+    """
+    t = F.col(norm_col) if isinstance(norm_col, str) else norm_col
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
             lambda i: F.substring(t, i, k),
         )
     )
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct k-char shingles of raw text (normalizes inline).
+
+    Prefer `select(norm_text(...).alias("nt"))` + `shingle_array("nt")`
+    in hot paths — see shingle_array's CSE note.
+    """
+    return shingle_array(norm_text(col), k)

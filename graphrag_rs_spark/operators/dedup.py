@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graphrag_rs_spark.functions.hashing import h60, norm_text, char_shingles
+from graphrag_rs_spark.functions.hashing import (h60, norm_text,
+                                                 shingle_array)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -50,11 +51,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _shingle_table(docs: DataFrame, id_col: str, text_col: str,
-                   k: int, max_shingle_df: int | None) -> DataFrame:
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(text_col, k)).alias("shingle"),
-    ).distinct()
+                   k: int, max_shingle_df: int | None = None) -> DataFrame:
+    # two-step select: normalization must be materialized before the
+    # per-position transform (see hashing.shingle_array)
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    norm_text(text_col).alias("nt"))
+        .select("doc_id", F.explode(shingle_array("nt", k)).alias("shingle"))
+        .distinct()
+    )
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").count()
         sh = sh.join(
@@ -102,6 +107,23 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1; (a%p)*(h%p) stays inside int64
+
+
+def minhash_coeffs(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs < p from md5(seed:i) — no RNG state,
+    identical constants in the Spark plan and the SQL oracle."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") % (MINHASH_PRIME - 1)) + 1
+        b = int.from_bytes(d[8:], "big") % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -109,25 +131,31 @@ def minhash_signatures(
     k: int = 5,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """→ (doc_id, hash_idx, minhash): num_hashes md5-seeded min-hashes.
+    """→ (doc_id, hash_idx, minhash): universal-hash-family min-hashes.
 
-    hash_i(shingle) = h60(shingle || '#' || i); signature_i = min over
-    the doc's shingles.  One explode + one groupBy; engine-portable.
+    hash_i(s) = (a_i·(h60(s) mod p) + b_i) mod p with p = 2³¹−1 — ONE
+    md5 per shingle instead of num_hashes of them (the md5 dominated the
+    old per-seed variant 16×); signature_i = min over the doc's shingles.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(text_col, k)).alias("shingle"),
-    ).distinct()
-    seeded = sh.select(
+    coeffs = minhash_coeffs(num_hashes)
+    sh = _shingle_table(docs, id_col, text_col, k)
+    hashed = sh.select(
+        "doc_id", (h60("shingle") % MINHASH_PRIME).alias("hp"))
+    # all num_hashes minima as parallel aggregate expressions over the
+    # UNEXPLODED table (pure codegen arithmetic, one shuffle of n_docs
+    # groups), then unpivot the tiny wide result to long form — ~16×
+    # less shuffle volume than exploding per (shingle, hash_idx)
+    wide = hashed.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("hp") + F.lit(b)) % MINHASH_PRIME)
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ])
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
-        "shingle",
-    ).select(
-        "doc_id", "hash_idx",
-        h60(F.concat_ws("#", F.col("shingle"),
-                        F.col("hash_idx").cast("string"))).alias("h"),
+        F.posexplode(F.array(*[F.col(f"mh_{i}")
+                               for i in range(num_hashes)]))
+        .alias("hash_idx", "minhash"),
     )
-    return seeded.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
 
 
 def minhash_lsh_pairs(

@@ -36,14 +36,17 @@ _TOKENIZE = ("filter(split(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ')),"
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """→ (doc_id, n_chars, n_ws_tokens, n_word_tokens, n_distinct_tokens)."""
-    toks = F.expr(_TOKENIZE.format(c=text_col))
-    return docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("bigint").alias("n_chars"),
         F.size(F.split(F.trim(text_col), r"\s+")).cast("bigint")
         .alias("n_ws_tokens"),
-        F.size(toks).cast("bigint").alias("n_word_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint")
+        F.expr(_TOKENIZE.format(c=text_col)).alias("toks"),
+    )
+    return base.select(
+        "doc_id", "n_chars", "n_ws_tokens",
+        F.size("toks").cast("bigint").alias("n_word_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint")
         .alias("n_distinct_tokens"),
     )
 
@@ -55,31 +58,40 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     quality = mean of three bounded signals: length band, stopword presence
     band, and punctuation sanity — deterministic, rounded to 6 dp.
     """
-    toks = F.expr(_TOKENIZE.format(c=text_col))
-    n_tok = F.size(toks)
-    n_chars = F.length(text_col)
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENIZE.format(c=text_col)).alias("toks"),
+        F.length(text_col).alias("n_chars"),
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")))
+        .alias("n_punct"),
+    )
+    toks = F.col("toks")
+    n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
 
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(F.col("n_punct") / F.greatest("n_chars", F.lit(1)), 6)
     stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
     mean_wl = F.round(
         F.aggregate(toks, F.lit(0).cast("bigint"),
                     lambda acc, t: acc + F.length(t))
         / F.greatest(n_tok, F.lit(1)), 6)
 
-    len_signal = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
-    stop_signal = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1.0) \
-        .otherwise(0.0)
-    punct_signal = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
-
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    m = base.select(
+        "doc_id",
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_wl.alias("mean_word_len"),
+        n_tok.alias("n_tok"),
+    )
+    len_signal = F.when((F.col("n_tok") >= 10)
+                        & (F.col("n_tok") <= 100000), 1.0).otherwise(0.0)
+    stop_signal = F.when((F.col("stopword_ratio") >= 0.05)
+                         & (F.col("stopword_ratio") <= 0.6), 1.0).otherwise(0.0)
+    punct_signal = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    return m.select(
+        "doc_id", "punct_ratio", "stopword_ratio", "mean_word_len",
         F.round((len_signal + stop_signal + punct_signal) / 3.0, 6)
         .alias("quality"),
     )
@@ -133,18 +145,25 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
     hash in each window of w consecutive k-grams; the distinct set
     identifies a document robustly under edits.
     """
+    # materialize the normalized text before the per-position transform
+    # (inline, the regexp chain re-evaluates per position — hashing.py)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    "[^a-z0-9]+", " "))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1),
-                           F.greatest(F.length(norm) - (k - 1), F.lit(1))),
-                lambda i: F.substring(norm, i, k),
-            )
-        ).alias("pos", "gram"),
-    ).select("doc_id", "pos", h60("gram").alias("gh"))
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length("nt") - (k - 1), F.lit(1))),
+                    lambda i: F.substring(F.col("nt"), i, k),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", h60("gram").alias("gh"))
+    )
     win = (Window.partitionBy("doc_id").orderBy("pos")
            .rowsBetween(0, w - 1))
     fp = grams.select("doc_id", F.min("gh").over(win).alias("fp")).distinct()
