@@ -1,0 +1,170 @@
+"""Leiden community detection (G3) — per-component exact algorithm.
+
+The reference runs Leiden on the whole in-memory graph
+(graph/leiden.rs:689-791 local moving with cached community degrees,
+:911-985 refinement = split disconnected communities).  That is
+inherently sequential — but after canonicalization the entity graph's
+connected components are small (SURVEY.md §7 risk 5), so the scalable
+shape is: distributed CC first (algos/cc.py), then EXACT Leiden per
+component inside `applyInPandas`, with component-prefixed community ids
+for global uniqueness.  Wall-clock scales with the largest component,
+not the graph.
+
+Transliterated semantics:
+  - init: one community per node (leiden.rs:794-803)
+  - local moving: sweep nodes, move to the neighboring community with
+    the best ΔQ (Newman modularity with resolution, leiden.rs:894-898),
+    community-degree cache updated in place (leiden.rs:755-781),
+    max 100 sweeps (leiden.rs:753)
+  - refinement: split communities whose induced subgraph is
+    disconnected (leiden.rs:911-985)
+Documented deviation: node visit order is sorted(node_id) rather than
+petgraph insertion order (deterministic either way; insertion order is
+an artifact of the reference's build sequence, not a semantic).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MAX_SWEEPS = 100  # leiden.rs:753
+
+
+def leiden_partition(
+    nodes: list[str],
+    edges: list[tuple[str, str]],
+    resolution: float = 1.0,
+) -> dict[str, int]:
+    """Exact single-level Leiden over one (small) component."""
+    order = sorted(set(nodes))
+    adj: dict[str, set] = {n: set() for n in order}
+    eset = set()
+    for a, b in edges:
+        if a == b or a not in adj or b not in adj:
+            continue
+        key = (a, b) if a < b else (b, a)
+        if key in eset:
+            continue
+        eset.add(key)
+        adj[a].add(b)
+        adj[b].add(a)
+
+    communities = {n: i for i, n in enumerate(order)}
+    node_degree = {n: float(len(adj[n])) for n in order}
+    total_edges = float(len(eset)) * 2.0
+    if total_edges == 0:
+        return communities
+
+    community_degrees: dict[int, float] = defaultdict(float)
+    for n in order:
+        community_degrees[communities[n]] += node_degree[n]
+
+    improved, sweeps = True, 0
+    while improved and sweeps < MAX_SWEEPS:
+        improved = False
+        for n in order:
+            cur = communities[n]
+            k = node_degree[n]
+            neigh_comms = {communities[m] for m in adj[n]}
+            k_in_from = sum(1 for m in adj[n] if communities[m] == cur)
+            sigma_from = community_degrees.get(cur, 0.0)
+            best, best_delta = cur, 0.0
+            for cand in neigh_comms:
+                if cand == cur:
+                    continue
+                k_in_to = sum(1 for m in adj[n] if communities[m] == cand)
+                sigma_to = community_degrees.get(cand, 0.0)
+                # ΔQ — leiden.rs:894-898
+                delta = ((k_in_to - k_in_from) / total_edges) \
+                    - resolution * k * ((sigma_to - sigma_from + k)
+                                        / (total_edges * total_edges))
+                if delta > best_delta:
+                    best_delta, best = delta, cand
+            if best != cur:
+                community_degrees[cur] -= k
+                community_degrees[best] += k
+                communities[n] = best
+                improved = True
+        sweeps += 1
+
+    # refinement: split disconnected communities (leiden.rs:911-985)
+    by_comm: dict[int, list[str]] = defaultdict(list)
+    for n in order:
+        by_comm[communities[n]].append(n)
+    for cid in sorted(by_comm):
+        members = by_comm[cid]
+        comps = _components_within(adj, members)
+        if len(comps) <= 1:
+            continue
+        max_id = max(communities.values())
+        for idx, comp in enumerate(comps):
+            new_id = max_id + idx + 1
+            for n in comp:
+                communities[n] = new_id
+    return communities
+
+
+def _components_within(adj: dict[str, set], members: list[str]) -> list[list[str]]:
+    member_set = set(members)
+    unvisited = set(members)
+    out = []
+    while unvisited:
+        start = min(unvisited)          # deterministic
+        stack, comp = [start], []
+        unvisited.discard(start)
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n]:
+                if m in member_set and m in unvisited:
+                    unvisited.discard(m)
+                    stack.append(m)
+        out.append(sorted(comp))
+    return out
+
+
+def leiden_communities(
+    entities: DataFrame,
+    triple_mentions: DataFrame,
+    cc_labels: DataFrame,
+    resolution: float = 1.0,
+    level: int = 1,
+) -> DataFrame:
+    """Distributed driver: CC labels shard the graph; exact Leiden runs
+    per component in one applyInPandas pass.
+
+    cc_labels: (node, component) from algos.cc.connected_components.
+    Returns (entity_id, level, community) with community ids globally
+    unique as "{component}#{local_id}".
+    """
+    edges = (
+        triple_mentions.select(F.col("subj").alias("src"),
+                               F.col("obj").alias("dst"))
+        .distinct()
+        .join(cc_labels.withColumnRenamed("node", "src"), "src")
+    )
+    # one row per node (carrying its edges' endpoints) per component
+    edge_rows = edges.select("component", "src", "dst")
+    node_rows = cc_labels.select("component",
+                                 F.col("node").alias("src"),
+                                 F.lit(None).cast("string").alias("dst"))
+    grouped = edge_rows.unionByName(node_rows)
+
+    def run_leiden(pdf: pd.DataFrame) -> pd.DataFrame:
+        component = pdf["component"].iloc[0]
+        nodes = list(pdf["src"].dropna().unique())
+        edge_list = [(a, b) for a, b in zip(pdf["src"], pdf["dst"])
+                     if isinstance(b, str)]
+        part = leiden_partition(nodes, edge_list, resolution)
+        return pd.DataFrame({
+            "entity_id": list(part.keys()),
+            "level": level,
+            "community": [f"{component}#{c}" for c in part.values()],
+        })
+
+    return grouped.groupBy("component").applyInPandas(
+        run_leiden, schema="entity_id string, level int, community string")

@@ -15,6 +15,9 @@ class PipelineConfig:
     # Chunking (reference: config/mod.rs:850-855)
     chunk_size: int = 1000
     chunk_overlap: int = 200
+    # "fixed" = text/mod.rs:123-168 (default); "hierarchical" =
+    # text/chunking.rs:47-103 (T2, RecursiveCharacterTextSplitter style)
+    chunking_strategy: str = "fixed"
 
     # Entity extraction (reference: config/mod.rs:859-867).  NOTE: the
     # reference's *config* default is ["PERSON","ORG","LOCATION"], where

@@ -103,6 +103,82 @@ def chunk_text(text: str, chunk_size: int = 1000, chunk_overlap: int = 200) -> l
     return chunks
 
 
+HIERARCHICAL_SEPARATORS = (
+    "\n\n", "\n", ". ", "! ", "? ", "; ", ": ", " ", "",
+)  # text/chunking.rs:18-28
+HIERARCHICAL_MIN_CHUNK = 50  # text/chunking.rs:29
+
+
+def _find_word_boundary_backward(text: str, pos: int) -> int:
+    """text/chunking.rs:131-152: walk back to the nearest whitespace."""
+    while pos > 0:
+        if text[pos - 1].isspace():
+            return pos
+        pos -= 1
+    return 0
+
+
+def _find_optimal_boundary(text: str, start: int, max_end: int,
+                           separators=HIERARCHICAL_SEPARATORS) -> int:
+    """text/chunking.rs:105-127: last occurrence of the highest-priority
+    separator inside the window, if past the window's first quarter."""
+    search = text[start:max_end]
+    for sep in separators:
+        if not sep:
+            continue
+        pos = search.rfind(sep)
+        if pos != -1:
+            boundary = start + pos + len(sep)
+            if boundary > start + (max_end - start) // 4:
+                return boundary
+    return _find_word_boundary_backward(text, max_end)
+
+
+def hierarchical_chunk_text(
+    text: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    min_chunk_size: int = HIERARCHICAL_MIN_CHUNK,
+    separators=HIERARCHICAL_SEPARATORS,
+) -> list[Chunk]:
+    """Hierarchical chunker (T2) — text/chunking.rs:47-103
+    (`HierarchicalChunker::chunk_text`), RecursiveCharacterTextSplitter
+    style: window end snapped to the best separator by priority, next
+    start = end - overlap re-aligned backward to a word boundary.
+
+    Deviations from the Rust (documented): indices are unicode code
+    points, not UTF-8 bytes (equivalent for ASCII transcripts); a
+    no-forward-progress guard jumps to `end` where the reference could
+    loop on pathological separator layouts.
+    """
+    chunks: list[Chunk] = []
+    start = 0
+    seq = 0
+    n = len(text)
+    while start < n:
+        end = min(start + chunk_size, n)
+        if end >= n:
+            content = text[start:]
+            if len(content.strip()) >= min_chunk_size:
+                chunks.append(Chunk(seq, content, start, n))
+            break
+        optimal = _find_optimal_boundary(text, start, end, separators)
+        if optimal > start:
+            end = optimal
+        content = text[start:end]
+        if len(content.strip()) >= min_chunk_size:
+            chunks.append(Chunk(seq, content, start, end))
+            seq += 1
+        if end >= n:
+            break
+        next_start = max(end - chunk_overlap, 0)
+        next_start = _find_word_boundary_backward(text, next_start)
+        if next_start <= start:          # forward-progress guard
+            next_start = end
+        start = next_start
+    return chunks
+
+
 # ---------------------------------------------------------------------------
 # Entity extraction — entity/mod.rs
 # ---------------------------------------------------------------------------

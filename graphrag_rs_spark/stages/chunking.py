@@ -83,6 +83,9 @@ def chunk_documents(
     chunk_id = f"{doc_id}_{seq}" (text/mod.rs:143).
     """
     chunk_size, overlap = cfg.chunk_size, cfg.chunk_overlap
+    splitter = (rl.hierarchical_chunk_text
+                if cfg.chunking_strategy == "hierarchical"
+                else rl.chunk_text)
 
     def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,7 +93,7 @@ def chunk_documents(
                                     ("chunk_id", "doc_id", "content",
                                      "start_offset", "end_offset", "chunk_seq")}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                for ch in rl.chunk_text(content, chunk_size, overlap):
+                for ch in splitter(content, chunk_size, overlap):
                     out["chunk_id"].append(f"{doc_id}_{ch.seq}")
                     out["doc_id"].append(doc_id)
                     out["content"].append(ch.content)

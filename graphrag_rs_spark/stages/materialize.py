@@ -59,6 +59,22 @@ def communities(entities: DataFrame, triples: DataFrame,
     )
 
 
+def hierarchical_communities(entities: DataFrame, triples: DataFrame,
+                             max_iterations: int = 50,
+                             resolution: float = 1.0) -> DataFrame:
+    """Level 0 = connected components; level 1 = exact Leiden within each
+    component (graph/leiden.rs semantics via algos/leiden.py)."""
+    from graphrag_rs_spark.algos.leiden import leiden_communities
+
+    level0 = communities(entities, triples, max_iterations=max_iterations)
+    cc_labels = level0.select(F.col("entity_id").alias("node"),
+                              F.col("community").alias("component"))
+    level1 = leiden_communities(
+        entities.select(F.col("entity_id")),
+        triples, cc_labels, resolution=resolution, level=1)
+    return level0.unionByName(level1)
+
+
 def graph_stats(entities: DataFrame, triples: DataFrame,
                 chunks: DataFrame, documents: DataFrame) -> DataFrame:
     """G13 (graph/mod.rs:349-406): one row of headline counts + per-type map."""

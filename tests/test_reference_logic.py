@@ -64,6 +64,31 @@ def test_chunk_bounds_and_coverage():
         assert b.start <= a.end
 
 
+def test_hierarchical_chunker():
+    # paragraph separators preferred over mid-sentence cuts
+    para = ("First paragraph sentence one is long enough to count. "
+            "Second sentence also here.")
+    text = "\n\n".join([para] * 10)
+    chunks = rl.hierarchical_chunk_text(text, 200, 40)
+    assert chunks
+    for ch in chunks:
+        assert text[ch.start:ch.end] == ch.content
+        assert len(ch.content.strip()) >= rl.HIERARCHICAL_MIN_CHUNK
+        assert len(ch.content) <= 200
+    # boundaries land after separators (paragraph or sentence ends)
+    for ch in chunks[:-1]:
+        assert ch.content.endswith(("\n", ". ", "! ", "? ", "; ", ": ", " ")) \
+            or ch.content.endswith(".")
+    # forward progress + overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.start < a.end
+        assert b.end > a.end
+
+
+def test_hierarchical_chunker_short_text_below_min_dropped():
+    assert rl.hierarchical_chunk_text("tiny.", 100, 10) == []
+
+
 def test_chunk_short_text_single_chunk():
     chunks = rl.chunk_text("Short text.", 1000, 200)
     assert len(chunks) == 1
