@@ -250,6 +250,17 @@ def q_pagerank(spark, sf_dir):
                     damping=0.85, iterations=5)
 
 
+def q_concept_pairs(spark, sf_dir):
+    """Q10 concept co-occurrence: tokens (len>3) sharing documents."""
+    from graphrag_rs_spark.retrieval.fusion import concept_cooccurrence
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("container"),
+        F.explode(F.expr(
+            "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+',"
+            " ' ')), ' '), x -> length(x) > 3)")).alias("item"))
+    return concept_cooccurrence(toks, "item", "container", min_count=50)
+
+
 def q_events_hourly(spark, sf_dir):
     from graphrag_rs_spark.operators.temporal import tumbling_rollup
     roll = tumbling_rollup(_events(spark, sf_dir), "ts", "event_type",
@@ -295,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "knn_cc": q_knn_cc,
         "graph_degree": q_graph_degree,
+        "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
@@ -632,6 +644,19 @@ def oracle_sql() -> dict[str, str]:
                     from orders join lineitem on o_orderkey = l_orderkey),
         e as (select src, dst from e0 union select dst, src from e0)
         select src as node, count(*) as degree from e group by src
+    """
+
+    sql["concept_pairs"] = f"""
+        with toks as (
+          select distinct doc_id as container,
+                 unnest(list_filter(string_split({_NT}, ' '),
+                                    x -> length(x) > 3)) as item
+          from documents)
+        select a.item as item_a, b.item as item_b,
+               count(*) as n_shared
+        from toks a join toks b
+          on a.container = b.container and a.item < b.item
+        group by 1, 2 having count(*) >= 50
     """
 
     sql["pagerank"] = _pagerank_sql(5, 0.85)

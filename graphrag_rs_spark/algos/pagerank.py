@@ -19,12 +19,19 @@ def pagerank(
     iterations: int = 10,
     checkpoint_every: int = 1,
     weighted: bool = False,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """→ (node, rank) after `iterations` power steps (fixed-iteration form,
     exactly reproducible by an unrolled SQL oracle).
 
     `edges`: (src, dst[, weight]); direction src→dst.  Nodes = all ids on
     either side.  rank is rounded to 8 dp at the end only.
+
+    `reset`: optional (node, weight) personalization vector → PERSONALIZED
+    PageRank (reference retrieval/pagerank_retrieval.rs:20-120 and
+    hipporag_ppr.rs:20-62 both reduce to this: teleport mass lands on the
+    reset distribution instead of uniformly).  Weights are normalized to
+    sum 1; dangling mass also follows the reset distribution.
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -51,8 +58,19 @@ def pagerank(
     ).persist()
     has_dangling = dangling_nodes.count() > 0
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    # teleport distribution: uniform, or the normalized reset vector
+    if reset is not None:
+        total_w = reset.agg(F.sum("weight")).collect()[0][0] or 1.0
+        teleport = F.broadcast(
+            nodes.join(reset, "node", "left")
+            .select("node",
+                    (F.coalesce(F.col("weight"), F.lit(0.0)) / total_w)
+                    .alias("t"))
+        ).persist()
+    else:
+        teleport = nodes.select("node", F.lit(1.0 / n).alias("t")).persist()
+
+    ranks = teleport.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
         contrib = (
             norm_edges
@@ -68,13 +86,14 @@ def pagerank(
                 .collect()[0]["dm"]
             )
         ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            teleport
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
-                (F.lit(base)
+                ((1.0 - damping) * F.col("t")
                  + F.lit(damping)
                  * (F.coalesce(F.col("in_rank"), F.lit(0.0))
-                    + F.lit(dangling / n))).alias("rank"),
+                    + F.lit(dangling) * F.col("t"))).alias("rank"),
             )
         )
         # materialize each step: the next iteration (and the dangling
@@ -86,4 +105,5 @@ def pagerank(
     nodes.unpersist()
     norm_edges.unpersist()
     dangling_nodes.unpersist()
+    teleport.unpersist()
     return out
