@@ -32,7 +32,12 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    No dedup here: `min` is duplicate-insensitive and the per-round
+    dedup happens once in _small_star's output — two fewer shuffles per
+    round than deduping every star op.
+    """
     bidir = edges.union(edges.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     mins = bidir.groupBy("src").agg(F.min("dst").alias("mn")) \
@@ -42,13 +47,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect every smaller-or-equal neighbor of u (and u) to the min."""
-    oriented = _canon(edges)
+    """Connect every smaller-or-equal neighbor of u (and u) to the min.
+
+    Input may contain duplicates (see _large_star); output is the
+    round's single dedup point.
+    """
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     joined = oriented.join(mins, "src")
     out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")) \
@@ -74,11 +85,21 @@ def connected_components(
     `edges` must have string columns (src, dst).  `nodes` (column: node)
     optionally adds isolated vertices, which label themselves.
     """
-    e = _canon(edges).localCheckpoint(eager=True)
-    prev = _checksum(e)
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    e = _canon(edges).persist()
+    prev = _checksum(e)          # one job: materializes the persist too
+    retained = [e]
+    for it in range(max_iterations):
+        e = _small_star(_large_star(e))
+        # truncate lineage periodically; otherwise persist alone cuts
+        # recompute while the checksum aggregate doubles as the
+        # materializing action — ONE job per round, not two
+        if (it + 1) % 5 == 0:
+            e = e.localCheckpoint(eager=False)
+        e = e.persist()
         cur = _checksum(e)
+        for old in retained:
+            old.unpersist()
+        retained = [e]
         if cur == prev:
             break
         prev = cur
