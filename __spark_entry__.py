@@ -62,8 +62,12 @@ def _kg(spark: SparkSession, sf_dir: str):
     from graphrag_rs_spark.config import DEFAULT_CONFIG
     from graphrag_rs_spark.stages.pipeline import run_pipeline
 
-    key = (id(spark), sf_dir)
+    # key on applicationId, not id(spark): id() can be reused by a new
+    # session after GC, and app id changes when a session is restarted
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KG_CACHE:
+        for k in [k for k in _KG_CACHE if k[0] != key[0]]:
+            del _KG_CACHE[k]       # results of a dead session are useless
         _KG_CACHE[key] = run_pipeline(
             spark, _kg_transcripts(spark, sf_dir), DEFAULT_CONFIG)
     return _KG_CACHE[key]

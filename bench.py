@@ -1,14 +1,23 @@
 """Benchmark harness: headline operators at $SPARK_GRAFT_SF_DIR.
 
     python bench.py                  # one JSON line (driver contract)
-    python bench.py --scaling        # same job at local[8] and local[32]
+    python bench.py --scaling        # same job at N and 4N cores
+                                     # (default local[4] vs local[16];
+                                     # override SPARK_GRAFT_SCALE_LO/HI)
                                      # → throughput + scaling efficiency
+
+Robustness: the measurement itself runs in a CHILD process (one retry on
+failure) so a JVM death — OOM-killed under concurrent memory pressure,
+as happened to the round-1 driver run — costs one retry, not the whole
+benchmark.  Each --scaling leg is likewise its own process: driver
+memory and GC flags are fixed at JVM launch, so legs sharing a JVM would
+silently inherit the first leg's sizing.
 
 Design notes:
   - every query materializes via the JVM-side noop sink (full compute,
     no driver collect, no disk)
   - the kg_pipeline entry is the north-rule metric: synthetic seeded
-    transcripts (scale via SPARK_GRAFT_KG_CONVS, default 2000) through
+    transcripts (scale via SPARK_GRAFT_KG_CONVS, default 20000) through
     chunk → extract → triples → canonicalize(CC) → communities;
     reported as turns/sec
   - dedup_jaccard is intentionally absent: its all-pairs shingle join is
@@ -19,10 +28,14 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+KG_CONVS_DEFAULT = 20000
 
 
 def _noop(df) -> None:
@@ -78,69 +91,86 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
     return timings
 
 
-def one_run(master: str, sf_dir: str, kg_convs: int,
-            kg_only: bool = False, parallelism: int | None = None) -> dict:
+def child_main(sf_dir: str, cpus: int, kg_convs: int) -> None:
+    """One full measurement in THIS process; prints the driver JSON line."""
     from graphrag_rs_spark.session import get_spark
     from graphrag_rs_spark.config import PipelineConfig
 
-    par = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("bench", master=master,
-                      cfg=PipelineConfig(shuffle_partitions=par))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      cfg=PipelineConfig(shuffle_partitions=cpus))
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    if kg_only:
-        timings = bench_kg(spark, kg_convs, par)
-    else:
-        timings = bench_queries(spark, sf_dir, kg_convs)
+    timings = bench_queries(spark, sf_dir, kg_convs)
     total = round(time.time() - t0, 3)
-    spark.stop()
-    return {"total_sec": total, "timings": timings}
-
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "2000"))
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-
-    if "--scaling" in sys.argv:
-        # North-rule scaling probe: same job at N and 4N cores.
-        # N=4 → 4N=16, NOT 8→32: this sandbox VM itself only delivers
-        # ~2.6× more cycles at 32-way than 8-way load on embarrassingly
-        # parallel pure-CPU work (host throttling above ~16-way), while
-        # 4→16 scales at 1.0 — measured with a multiprocessing spin
-        # benchmark, recorded in BENCH.md.  Override via env if needed.
-        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
-        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
-        r_lo = one_run(f"local[{lo}]", sf_dir, kg_convs,
-                       kg_only=True, parallelism=lo)
-        r_hi = one_run(f"local[{hi}]", sf_dir, kg_convs,
-                       kg_only=True, parallelism=hi)
-        tput_lo = r_lo["timings"]["_kg_turns_per_sec"]
-        tput_hi = r_hi["timings"]["_kg_turns_per_sec"]
-        eff = round((tput_hi / tput_lo) / (hi / lo), 3)
-        print(json.dumps({
-            "metric": f"kg scaling efficiency local[{lo}]→local[{hi}]",
-            "value": eff, "unit": "ratio", "sf": sf,
-            "turns": r_lo["timings"]["_kg_turns"],
-            f"turns_per_sec_{lo}": tput_lo,
-            f"turns_per_sec_{hi}": tput_hi,
-            f"kg_sec_{lo}": r_lo["timings"]["kg_pipeline"],
-            f"kg_sec_{hi}": r_hi["timings"]["kg_pipeline"],
-        }))
-        return
-
-    res = one_run(f"local[{cpus}]", sf_dir, kg_convs)
-    timings = res["timings"]
     queries = {k: v for k, v in timings.items() if not k.startswith("_")}
     print(json.dumps({
         "metric": "indexing+operator suite wall time "
                   f"(kg {timings['_kg_turns']} turns @ "
                   f"{timings['_kg_turns_per_sec']} turns/sec)",
-        "value": res["total_sec"], "unit": "sec",
+        "value": total, "unit": "sec",
         "queries": queries, "sf": float(sf),
         "kg_turns_per_sec": timings["_kg_turns_per_sec"],
-    }))
+    }), flush=True)
+    spark.stop()
+
+
+def _run_child(argv: list[str], attempts: int = 2) -> str:
+    """Run a measurement subprocess, retrying once; return its last line."""
+    last_err = ""
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, *argv], cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        lines = [ln for ln in proc.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            return lines[-1]
+        last_err = (proc.stderr or "")[-2000:]
+        time.sleep(10 * (attempt + 1))   # let transient pressure drain
+    raise RuntimeError(f"benchmark child failed twice; last stderr:\n{last_err}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS",
+                                  str(KG_CONVS_DEFAULT)))
+
+    if "--child" in sys.argv:
+        child_main(sf_dir, cpus, kg_convs)
+        return
+
+    if "--scaling" in sys.argv:
+        # North-rule scaling probe: same job at N and 4N cores, each leg
+        # a fresh process/JVM (see module docstring).  N=4 → 4N=16, NOT
+        # 8→32: this sandbox VM only delivers ~2.6× more cycles at
+        # 32-way than 8-way load even on embarrassingly parallel pure-CPU
+        # work (host throttling above ~16-way), while 4→16 scales at
+        # ~1.0 — measured with a multiprocessing spin benchmark,
+        # recorded in BENCH.md.  Override via env if needed.
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
+        n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))
+        sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+        legs = {}
+        for par in (lo, hi):
+            legs[par] = json.loads(_run_child(
+                ["tools/scaling_leg.py", str(par), str(n_convs)]))
+        eff = round((legs[hi]["turns_per_sec"] / legs[lo]["turns_per_sec"])
+                    / (hi / lo), 3)
+        print(json.dumps({
+            "metric": f"kg scaling efficiency local[{lo}]→local[{hi}]",
+            "value": eff, "unit": "ratio", "sf": sf,
+            "turns": legs[lo]["turns"],
+            f"turns_per_sec_{lo}": legs[lo]["turns_per_sec"],
+            f"turns_per_sec_{hi}": legs[hi]["turns_per_sec"],
+            f"kg_sec_{lo}": legs[lo]["wall_sec"],
+            f"kg_sec_{hi}": legs[hi]["wall_sec"],
+        }))
+        return
+
+    print(_run_child([os.path.join(REPO, "bench.py"), "--child"]))
 
 
 if __name__ == "__main__":

@@ -75,31 +75,98 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(pdf) -> list[tuple[str, str]]:
+    """Union-find with min-label roots over a pandas edge list."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:       # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    seen: set[str] = set()
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        seen.add(s)
+        seen.add(d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # min-label union keeps the component label = lexicographic
+            # minimum, matching the distributed loop exactly
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    # sorted → deterministic row order (set iteration order is not)
+    return sorted((n, find(n)) for n in seen)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iterations: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return (node: string, component: string) for every node.
 
     `edges` must have string columns (src, dst).  `nodes` (column: node)
     optionally adds isolated vertices, which label themselves.
+
+    Adaptive execution (same spirit as AQE's broadcast-join demotion):
+    if the edge set fits on the driver (≤ `driver_threshold` rows probed
+    via an incremental limit-collect), solve with union-find locally —
+    the O(log n)-round join loop is pure fixed cost for small graphs and
+    dominates pipeline latency.  Larger graphs (the 10^12-turn posture,
+    where distinct entity names alone exceed driver memory) take the
+    distributed small-star/large-star path.  Both produce the identical
+    deterministic labeling: component = lexicographic min node id.
     """
+    spark = edges.sparkSession
     e = _canon(edges).persist()
+
+    if driver_threshold > 0:
+        # probe the DEDUPED edge set (raw input may carry per-chunk
+        # duplicates); limit(k+1) bounds driver transfer — ≤ k rows back
+        # means we saw ALL edges
+        probe = e.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
+            labels = _driver_union_find(probe)
+            e.unpersist()
+            if labels:
+                import pandas as pd
+                all_labeled = spark.createDataFrame(
+                    pd.DataFrame(labels, columns=["node", "component"]),
+                    "node string, component string")
+            else:
+                all_labeled = spark.createDataFrame(
+                    [], "node string, component string")
+            if nodes is not None:
+                isolated = (
+                    nodes.select(F.col("node")).distinct()
+                    .join(all_labeled, "node", "left_anti")
+                    .select("node", F.col("node").alias("component"))
+                )
+                all_labeled = all_labeled.union(isolated)
+            return all_labeled
+
     prev = _checksum(e)          # one job: materializes the persist too
-    retained = [e]
+    last_persisted = e
     for it in range(max_iterations):
-        e = _small_star(_large_star(e))
-        # truncate lineage periodically; otherwise persist alone cuts
-        # recompute while the checksum aggregate doubles as the
-        # materializing action — ONE job per round, not two
-        if (it + 1) % 5 == 0:
-            e = e.localCheckpoint(eager=False)
-        e = e.persist()
+        # EAGER localCheckpoint every round: persist() alone caches
+        # execution but does NOT truncate the logical plan — each round
+        # references the last ~4×, so plan analysis time (and driver
+        # heap for plan trees) grows geometrically and kills the JVM
+        # after ~10 rounds (measured: 9s → 29s → minutes per round on a
+        # 39-edge path).  Eager checkpoint cuts the plan to a scan of
+        # stored blocks: one extra job per round, strictly linear.
+        # On a real cluster with executor loss, swap for reliable
+        # checkpoint(): sc.setCheckpointDir + .checkpoint() every ~5
+        # rounds; local mode has no executor loss.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
-        for old in retained:
-            old.unpersist()
-        retained = [e]
+        if last_persisted is not None:
+            last_persisted.unpersist()
+            last_persisted = None
         if cur == prev:
             break
         prev = cur

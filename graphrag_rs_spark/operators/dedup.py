@@ -171,6 +171,11 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands; a pair collides if any band of
     its signatures is identical.  n_bands = how many bands matched.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a remainder would silently form an undersized "
+            "extra band with different collision probability")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
     band_hash = (

@@ -14,6 +14,29 @@ from pyspark.sql import SparkSession
 from graphrag_rs_spark.config import PipelineConfig, DEFAULT_CONFIG
 
 
+def _adaptive_heap_gb(requested_gb: int) -> int:
+    """Clamp the requested driver heap to what the host can actually give.
+
+    A fixed -Xmx sized for an idle box is a time bomb: if another JVM
+    (concurrent benchmark run, leftover session) already holds tens of
+    GB, the ParallelGC heap grows into exhausted physical memory and the
+    OOM killer shoots the process mid-job (observed: round-1 bench died
+    with ConnectionRefused when two stale 48g JVMs were resident).  Use
+    at most ~55% of MemAvailable, floor 8 GB, cap at the request.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    break
+            else:
+                return requested_gb
+    except OSError:
+        return requested_gb
+    return max(8, min(requested_gb, int(avail_gb * 0.55)))
+
+
 def get_spark(
     app_name: str = "graphrag_rs_spark",
     master: str | None = None,
@@ -26,9 +49,11 @@ def get_spark(
     confs = {
         **cfg.spark_confs(),
         # local-mode JVM hosts all executor threads — size the heap for
-        # them (ignored when a cluster submitter sets its own memory)
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                                              "48g"),
+        # them (ignored when a cluster submitter sets its own memory),
+        # clamped to what the host can actually deliver right now
+        "spark.driver.memory": "%dg" % _adaptive_heap_gb(
+            int(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "40g")
+                .rstrip("g").rstrip("G"))),
         # Arrow's JNI critical sections trigger GCLocker allocation storms
         # with many executor threads (retry instead of stalling the world);
         # ParallelGC beats G1 for this batch/throughput profile — the

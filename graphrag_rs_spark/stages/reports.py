@@ -52,8 +52,15 @@ def community_reports(
     top_named = members.withColumn("rn", F.row_number().over(w)) \
         .filter(F.col("rn") <= TOP_NAMES_PER_TYPE)
 
+    # collect_list gives no ordering guarantee across aggregation — sort
+    # the collected structs explicitly ((-mention_count, name) == the
+    # window order above) instead of relying on row order surviving
     per_type = top_named.groupBy("community", "level", "entity_type").agg(
-        F.concat_ws(", ", F.collect_list("name")).alias("names"))
+        F.concat_ws(", ", F.transform(
+            F.sort_array(F.collect_list(
+                F.struct((-F.col("mention_count")).alias("neg_mc"),
+                         F.col("name").alias("name")))),
+            lambda s: s["name"])).alias("names"))
     type_lines = per_type.groupBy("community", "level").agg(
         F.concat_ws(
             "; ",

@@ -103,3 +103,57 @@ def test_community_reports(spark):
     assert "Alice" in r["title"] and "Xcorp" in r["title"]
     assert "PERSON: Alice, Bob" in r["summary"]
     assert "ORGANIZATION: Xcorp" in r["summary"]
+
+
+def test_incremental_pagerank_warm_start(spark):
+    """G5: warm-starting from the converged solution is a fixed point —
+    2 more iterations barely move the ranks; a graph delta re-converges
+    to the full recompute's solution."""
+    from graphrag_rs_spark.algos.pagerank import pagerank, incremental_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    base = pagerank(edges, iterations=30)
+    warm = incremental_pagerank(edges, base, iterations=2)
+    b = {r["node"]: r["rank"] for r in base.collect()}
+    w = {r["node"]: r["rank"] for r in warm.collect()}
+    assert all(abs(b[n] - w[n]) < 1e-5 for n in b)
+
+    # delta: add a node; warm incremental ≈ cold full recompute
+    edges2 = edges.union(spark.createDataFrame(
+        [("c", "d"), ("d", "a")], "src string, dst string"))
+    inc = {r["node"]: r["rank"]
+           for r in incremental_pagerank(edges2, base, iterations=15).collect()}
+    full = {r["node"]: r["rank"]
+            for r in pagerank(edges2, iterations=30).collect()}
+    assert all(abs(inc[n] - full[n]) < 1e-4 for n in full)
+
+
+def test_hierarchical_summary_tree(spark):
+    """Q11: 6 chunks, fanout 2 → levels 0..3, one root, n_leaves adds up."""
+    from graphrag_rs_spark.retrieval.summarize import (
+        hierarchical_summary, document_summaries)
+
+    chunks = spark.createDataFrame(
+        [("d1", i, f"Sentence {i} one. Sentence {i} two.") for i in range(6)]
+        + [("d2", 0, "Only chunk here.")],
+        "doc_id string, chunk_seq int, content string")
+    tree = hierarchical_summary(chunks, fanout=2)
+    rows = tree.collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault((r["doc_id"], r["level"]), []).append(r)
+    assert len(by_level[("d1", 0)]) == 6
+    assert len(by_level[("d1", 1)]) == 3
+    assert len(by_level[("d1", 2)]) == 2
+    assert len(by_level[("d1", 3)]) == 1
+    assert ("d2", 1) not in by_level          # single chunk → no parents
+    root = by_level[("d1", 3)][0]
+    assert root["n_leaves"] == 6
+    # children ordered by idx: the level-1 node 0 summarizes chunks 0,1
+    n10 = [r for r in by_level[("d1", 1)] if r["node_idx"] == 0][0]
+    assert n10["summary"] == "Sentence 0 one. Sentence 1 one."
+    docs = {r["doc_id"]: r for r in document_summaries(tree).collect()}
+    assert docs["d1"]["n_leaves"] == 6
+    assert docs["d2"]["summary"] == "Only chunk here."

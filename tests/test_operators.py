@@ -141,3 +141,20 @@ def test_lsh_buckets_deterministic(vecs):
           for r in similarity.lsh_buckets(vecs, n_planes=6).collect()}
     assert b1 == b2
     assert all(0 <= v < 64 for v in b1.values())
+
+
+def test_enrich_chunks(spark):
+    """T7: keywords ranked by per-chunk TF (ties alphabetical), first-
+    sentence summary, chapter tag."""
+    from graphrag_rs_spark.stages.enrich import enrich_chunks
+
+    chunks = spark.createDataFrame(
+        [("c1", "Chapter IV The whale ship sailed. The whale dove deep."),
+         ("c2", "no sentence end here")],
+        "chunk_id string, content string")
+    rows = {r["chunk_id"]: r for r in enrich_chunks(chunks, top_k=3).collect()}
+    assert rows["c1"]["keywords"][0] == "whale"          # tf=2
+    assert rows["c1"]["summary"] == "Chapter IV The whale ship sailed."
+    assert rows["c1"]["chapter"].lower().startswith("chapter")
+    assert rows["c2"]["summary"] == "no sentence end here"
+    assert rows["c2"]["chapter"] == ""
