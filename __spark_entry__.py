@@ -185,6 +185,18 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=8, w=4)
 
 
+def q_enrich(spark, sf_dir):
+    """T7 chunk enrichment over the documents table (doc = one chunk)."""
+    from graphrag_rs_spark.stages.enrich import enrich_chunks
+    chunks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("chunk_id"), F.col("text").alias("content"))
+    out = enrich_chunks(chunks, top_k=3)
+    return out.select(
+        F.col("chunk_id").alias("doc_id"),
+        F.concat_ws(",", "keywords").alias("keywords"),
+        "summary")
+
+
 def q_tfidf_topk(spark, sf_dir):
     from graphrag_rs_spark.retrieval.tfidf import tfidf_topk
     return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=5)
@@ -254,6 +266,35 @@ def q_pagerank(spark, sf_dir):
                     damping=0.85, iterations=5)
 
 
+def q_pagerank_warm(spark, sf_dir):
+    """G5 incremental PageRank: warm-start from a 3-iteration solution,
+    run 2 more warm iterations.  Power iteration composes, so this lands
+    on the same point as 5 cold iterations — but the contract oracle
+    replicates the EXACT arithmetic (round-to-8dp at the handoff, then
+    renormalize) so the value hash matches bit-for-bit."""
+    from graphrag_rs_spark.algos.pagerank import (incremental_pagerank,
+                                                  pagerank)
+    edges = _cust_supp_edges(spark, sf_dir)
+    prev = pagerank(edges, damping=0.85, iterations=3)
+    return incremental_pagerank(edges, prev, damping=0.85, iterations=2)
+
+
+def q_hier_summary(spark, sf_dir):
+    """Q11 hierarchical summarize: 20-word chunks per document, fanout-4
+    extractive tree; returns every tree node."""
+    from graphrag_rs_spark.retrieval.summarize import hierarchical_summary
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    chunks = (
+        words.groupBy("doc_id",
+                      F.floor(F.col("pos") / 20).alias("chunk_seq"))
+        .agg(F.concat_ws(" ", F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"])).alias("content"))
+    )
+    return hierarchical_summary(chunks, fanout=4, max_len=600)
+
+
 def q_concept_pairs(spark, sf_dir):
     """Q10 concept co-occurrence: tokens (len>3) sharing documents."""
     from graphrag_rs_spark.retrieval.fusion import concept_cooccurrence
@@ -304,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
+        "enrich": q_enrich,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "embedding_knn": q_embedding_knn,
@@ -312,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
+        "pagerank_warm": q_pagerank_warm,
+        "hier_summary": q_hier_summary,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
     }
@@ -359,6 +403,82 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
         )
     return ("with " + ",\n".join(ctes)
             + f"\nselect node, round(rank, 8) as rank from r{iterations}")
+
+
+def _pagerank_cte_prefix() -> list[str]:
+    return [
+        "e0 as (select distinct 'c' || o_custkey as src, 's' || l_suppkey as dst "
+        "from orders join lineitem on o_orderkey = l_orderkey)",
+        "e as (select src, dst from e0 union select dst, src from e0)",
+        "n as (select distinct src as node from e)",
+        "cnt as (select count(*)::DOUBLE as c from n)",
+        "ow as (select src, count(*) as outc from e group by src)",
+        "p as (select e.src, e.dst, 1.0 / ow.outc as p from e join ow using (src))",
+        "r0 as (select node, 1.0 / (select c from cnt) as rank from n)",
+    ]
+
+
+def _pr_step(out: str, prev: str, d: float) -> str:
+    return (
+        f"{out} as (select n.node, (1 - {d}) / (select c from cnt) + {d} * "
+        f"coalesce(s.x, 0) as rank from n left join "
+        f"(select p.dst, sum(p.p * r.rank) as x from p join {prev} r "
+        f"on r.node = p.src group by p.dst) s on s.dst = n.node)"
+    )
+
+
+def _pagerank_warm_sql(cold: int = 3, warm: int = 2,
+                       damping: float = 0.85) -> str:
+    """G5 oracle: replicates the warm-start handoff arithmetic exactly —
+    cold iterations, round to 8dp (the cold run's output precision),
+    renormalize to sum 1, then the warm iterations."""
+    ctes = _pagerank_cte_prefix()
+    for i in range(1, cold + 1):
+        ctes.append(_pr_step(f"r{i}", f"r{i-1}", damping))
+    ctes.append(f"rr as (select node, round(rank, 8) as rank from r{cold})")
+    ctes.append("tot as (select sum(rank)::DOUBLE as s from rr)")
+    ctes.append("w0 as (select node, rank / (select s from tot) as rank from rr)")
+    for i in range(1, warm + 1):
+        ctes.append(_pr_step(f"w{i}", f"w{i-1}", damping))
+    return ("with " + ",\n".join(ctes)
+            + f"\nselect node, round(rank, 8) as rank from w{warm}")
+
+
+_FS_RE = r"^\s*(.*?[.!?])(?:\s|$)"
+
+
+def _hier_summary_sql(fanout: int = 4, max_len: int = 600,
+                      levels: int = 8, chunk_words: int = 20) -> str:
+    """Q11 oracle: fixed unroll of the tree loop (covers docs up to
+    fanout^levels chunks; sf docs are far below that).  Docs drop out of
+    level i when level i-1 already reduced them to one node — same
+    semantics as hierarchical_summary's `active` filter."""
+    fs = (f"case when regexp_extract(summary, '{_FS_RE}', 1) <> '' "
+          f"then substr(regexp_extract(summary, '{_FS_RE}', 1), 1, {max_len}) "
+          f"else substr(summary, 1, {max_len}) end")
+    ctes = [
+        "w as (select doc_id, unnest(string_split(text, ' ')) as w, "
+        "generate_subscripts(string_split(text, ' '), 1) as pos from documents)",
+        f"l0 as (select doc_id, ((pos - 1) // {chunk_words})::BIGINT as node_idx, "
+        "0 as level, string_agg(w, ' ' order by pos) as summary, "
+        "1::BIGINT as n_leaves from w group by doc_id, "
+        f"(pos - 1) // {chunk_words})",
+    ]
+    for i in range(1, levels + 1):
+        ctes.append(
+            f"l{i} as (select doc_id, pidx as node_idx, {i} as level, "
+            f"substr(string_agg(fs, ' ' order by cidx), 1, {max_len}) as summary, "
+            "sum(n_leaves)::BIGINT as n_leaves from ("
+            f"select doc_id, node_idx as cidx, "
+            f"(node_idx // {fanout})::BIGINT as pidx, {fs} as fs, n_leaves "
+            f"from l{i-1} where doc_id in (select doc_id from l{i-1} "
+            "group by doc_id having count(*) > 1)"
+            ") group by doc_id, pidx)"
+        )
+    union = " union all ".join(
+        f"select doc_id, node_idx, level, summary, n_leaves from l{i}"
+        for i in range(levels + 1))
+    return "with " + ",\n".join(ctes) + "\n" + union
 
 
 def oracle_sql() -> dict[str, str]:
@@ -546,6 +666,33 @@ def oracle_sql() -> dict[str, str]:
         from d group by doc_id
     """
 
+    from graphrag_rs_spark.stages.enrich import _STOP as _ENRICH_STOP
+    enrich_stop = "['" + "','".join(_ENRICH_STOP) + "']"
+    sql["enrich"] = f"""
+        with toks as (
+          select doc_id, unnest(list_filter({_TOKS},
+                 x -> length(x) > 2)) as tok
+          from documents),
+        filt as (select doc_id, tok from toks
+                 where not list_contains({enrich_stop}, tok)),
+        tf as (select doc_id, tok, count(*) as tf
+               from filt group by doc_id, tok),
+        rk as (select doc_id, tok,
+                      row_number() over (partition by doc_id
+                          order by tf desc, tok asc) as rn
+               from tf),
+        kw as (select doc_id, string_agg(tok, ',' order by rn) as keywords
+               from rk where rn <= 3 group by doc_id)
+        select d.doc_id,
+               coalesce(kw.keywords, '') as keywords,
+               case when regexp_extract(d.text,
+                        '^\\s*(.*?[.!?])(?:\\s|$)', 1) <> ''
+                    then regexp_extract(d.text,
+                        '^\\s*(.*?[.!?])(?:\\s|$)', 1)
+                    else substr(d.text, 1, 200) end as summary
+        from documents d left join kw using (doc_id)
+    """
+
     bm25_toks = _BM25_TOKS.format(stop=_BM25_STOP)
 
     sql["tfidf_topk"] = f"""
@@ -664,6 +811,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["pagerank"] = _pagerank_sql(5, 0.85)
+    sql["pagerank_warm"] = _pagerank_warm_sql(3, 2, 0.85)
+    sql["hier_summary"] = _hier_summary_sql(4, 600, 8, 20)
 
     sql["events_hourly"] = """
         select epoch(date_trunc('hour', ts))::BIGINT as window_start_s,

@@ -40,6 +40,10 @@ def assemble_documents(transcripts: DataFrame) -> DataFrame:
     """
     return (
         transcripts
+        # co-partition by conv_id before the object aggregation so each
+        # task's collect_list map holds only its own conversations (the
+        # same partial-agg memory discipline as triples_with_context)
+        .repartition("conv_id")
         .groupBy(F.col("conv_id").alias("doc_id"))
         .agg(
             F.concat_ws(

@@ -63,7 +63,7 @@ def run_pipeline(
     # than both downstream recomputes combined (measured)
 
     canon = canonicalize.canonical_map(entities, cfg).persist()
-    canon_flat = canonicalize.rewrite_triple_mentions(flat, canon).persist()
+    canon_flat = canonicalize.rewrite_triple_mentions(flat, canon, cfg).persist()
     canon_entities = materialize.canonical_entities(entities, canon)
     comms = materialize.communities(canon_entities, canon_flat,
                                     max_iterations=cfg.cc_max_iterations)
@@ -123,7 +123,7 @@ def run_pipeline_checkpointed(
         resume)
     canon_flat = ck.run_stage(
         "canonical_triple_mentions",
-        lambda: canonicalize.rewrite_triple_mentions(flat, canon), resume)
+        lambda: canonicalize.rewrite_triple_mentions(flat, canon, cfg), resume)
     canon_triples = ck.run_stage(
         "canonical_triples",
         lambda: triples_mod.triples_with_context(canon_flat, cfg), resume)
