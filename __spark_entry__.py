@@ -197,6 +197,21 @@ def q_enrich(spark, sf_dir):
         "summary")
 
 
+_NER_LEXICON = [
+    ("spark", "TECH"), ("vector", "TECH"), ("customer", "ENTITY"),
+    ("hash value", "CONCEPT"), ("fast table", "CONCEPT"),
+    ("sort merge batch", "CONCEPT"),
+]
+
+
+def q_dictionary_ner(spark, sf_dir):
+    """E11 dictionary NER: broadcast phrase lexicon joined against the
+    document 1..3-gram stream."""
+    from graphrag_rs_spark.operators.dictionary_ner import dictionary_ner
+    lex = spark.createDataFrame(_NER_LEXICON, ["phrase", "entity_type"])
+    return dictionary_ner(_docs(spark, sf_dir), lex, max_words=3)
+
+
 def q_tfidf_topk(spark, sf_dir):
     from graphrag_rs_spark.retrieval.tfidf import tfidf_topk
     return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=5)
@@ -346,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "enrich": q_enrich,
+        "dictionary_ner": q_dictionary_ner,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "embedding_knn": q_embedding_knn,
@@ -691,6 +707,23 @@ def oracle_sql() -> dict[str, str]:
                         '^\\s*(.*?[.!?])(?:\\s|$)', 1)
                     else substr(d.text, 1, 200) end as summary
         from documents d left join kw using (doc_id)
+    """
+
+    lex_vals = ", ".join(f"('{p}', '{t}')" for p, t in _NER_LEXICON)
+    sql["dictionary_ner"] = f"""
+        with t as (select doc_id, {_TOKS} as ts from documents),
+        ng0 as (
+          select doc_id, unnest(flatten([
+            [ {{'pos': i - 1, 'gram': array_to_string(ts[i:i+n-1], ' ')}}
+              for i in generate_series(1, greatest(len(ts) - n + 1, 0)) ]
+            for n in generate_series(1, 3) ])) as g
+          from t),
+        ng as (select doc_id, g.pos as pos, g.gram as gram from ng0),
+        lex(gram, entity_type) as (values {lex_vals})
+        select doc_id, ng.gram as name, entity_type,
+               count(*)::BIGINT as n_mentions, min(pos)::BIGINT as first_pos
+        from ng join lex using (gram)
+        group by doc_id, ng.gram, entity_type
     """
 
     bm25_toks = _BM25_TOKS.format(stop=_BM25_STOP)

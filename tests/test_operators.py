@@ -158,3 +158,42 @@ def test_enrich_chunks(spark):
     assert rows["c1"]["chapter"].lower().startswith("chapter")
     assert rows["c2"]["summary"] == "no sentence end here"
     assert rows["c2"]["chapter"] == ""
+
+
+# ---------------------------------------------------------- dictionary NER
+
+def test_dictionary_ner(spark):
+    from graphrag_rs_spark.operators.dictionary_ner import dictionary_ner
+    docs = spark.createDataFrame(
+        [(1, "Alpha Beta gamma. Alpha beta!"), (2, "no matches here")],
+        "doc_id long, text string")
+    lex = spark.createDataFrame(
+        [("Alpha Beta", "PAIR"), ("gamma", "G")], ["phrase", "entity_type"])
+    res = {(r.doc_id, r.name): r
+           for r in dictionary_ner(docs, lex, max_words=3).collect()}
+    assert set(res) == {(1, "alpha beta"), (1, "gamma")}
+    ab = res[(1, "alpha beta")]
+    assert ab.entity_type == "PAIR" and ab.n_mentions == 2 and ab.first_pos == 0
+    g = res[(1, "gamma")]
+    assert g.entity_type == "G" and g.n_mentions == 1 and g.first_pos == 2
+
+
+def test_regex_ner(spark):
+    from graphrag_rs_spark.operators.dictionary_ner import regex_ner
+    docs = spark.createDataFrame(
+        [(1, "gamma rays and gamma bursts")], "doc_id long, text string")
+    res = regex_ner(docs, [("[a-z]*mma", "G")], max_words=1).collect()
+    assert len(res) == 1
+    assert res[0].name == "gamma" and res[0].n_mentions == 2
+    assert res[0].first_pos == 0 and res[0].entity_type == "G"
+
+
+def test_dictionary_ner_short_doc(spark):
+    """Docs shorter than max_words must not blow up the n-gram expr."""
+    from graphrag_rs_spark.operators.dictionary_ner import dictionary_ner
+    docs = spark.createDataFrame(
+        [(1, "spark"), (2, "")], "doc_id long, text string")
+    lex = spark.createDataFrame([("spark", "TECH")],
+                                ["phrase", "entity_type"])
+    res = dictionary_ner(docs, lex, max_words=3).collect()
+    assert len(res) == 1 and res[0].doc_id == 1 and res[0].n_mentions == 1
