@@ -107,10 +107,12 @@ def connected_components(
     max_iterations: int = 50,
     driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Return (node: string, component: string) for every node.
+    """Return (node, component) for every node, component = min node id.
 
-    `edges` must have string columns (src, dst).  `nodes` (column: node)
-    optionally adds isolated vertices, which label themselves.
+    `edges` needs columns (src, dst) of any orderable type (string ids
+    in the kg pipeline, ints in knn_cc); output columns keep that type.
+    `nodes` (column: node) optionally adds isolated vertices, which
+    label themselves.
 
     Adaptive execution (same spirit as AQE's broadcast-join demotion):
     if the edge set fits on the driver (≤ `driver_threshold` rows probed
@@ -132,14 +134,21 @@ def connected_components(
         if len(probe) <= driver_threshold:
             labels = _driver_union_find(probe)
             e.unpersist()
+            # emit the same node dtype as the input edges so the driver
+            # fast path and the distributed loop are interchangeable
+            # (int ids stay int; also avoids the Arrow int->string
+            # fallback warning)
+            node_t = edges.schema["src"].dataType
+            from pyspark.sql.types import StructField, StructType
+            schema = StructType([StructField("node", node_t, False),
+                                 StructField("component", node_t, False)])
             if labels:
                 import pandas as pd
                 all_labeled = spark.createDataFrame(
                     pd.DataFrame(labels, columns=["node", "component"]),
-                    "node string, component string")
+                    schema)
             else:
-                all_labeled = spark.createDataFrame(
-                    [], "node string, component string")
+                all_labeled = spark.createDataFrame([], schema)
             if nodes is not None:
                 isolated = (
                     nodes.select(F.col("node")).distinct()
