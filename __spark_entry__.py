@@ -234,6 +234,21 @@ def q_embedding_knn(spark, sf_dir):
     return cosine_topk(emb, queries, k=10)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact path; LSH-blocked at scale)."""
+    from graphrag_rs_spark.operators.similarity import near_dup_pairs
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: hash-seeded coarse quantizer + 1 Lloyd step, probe 2/4 lists."""
+    from graphrag_rs_spark.operators.similarity import ivf_topk
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=10, n_lists=4, n_probe=2)
+
+
 def q_embedding_centroids(spark, sf_dir):
     from graphrag_rs_spark.operators.similarity import centroids
     return centroids(_emb(spark, sf_dir)).select(
@@ -365,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "embedding_knn": q_embedding_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "knn_cc": q_knn_cc,
         "graph_degree": q_graph_degree,
@@ -788,6 +805,63 @@ def oracle_sql() -> dict[str, str]:
         r as (select *, row_number() over (partition by query_id
                   order by sim desc, vec_id asc) as rank from s)
         select query_id, vec_id, sim, rank from r where rank <= 10
+    """
+
+    sql["embedding_near_dup"] = """
+        with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+        s as (select a.vec_id as id_a, b.vec_id as id_b,
+                     round(list_dot_product(a.vv, b.vv)
+                         / (sqrt(list_dot_product(a.vv, a.vv))
+                            * sqrt(list_dot_product(b.vv, b.vv))), 6) as sim
+              from v a join v b on a.vec_id < b.vec_id)
+        select id_a, id_b, sim from s where sim >= 0.4
+    """
+
+    # IVF oracle mirrors similarity.ivf_topk exactly: hash-chosen seeds,
+    # one Lloyd step with 6-dp-rounded centroids, nearest-centroid
+    # membership, probe top-2 of 4 lists, exact cosine within.
+    _cos = ("round(list_dot_product({a}, {b}) / (sqrt(list_dot_product("
+            "{a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)")
+    sql["ann_ivf"] = f"""
+        with v as (select vec_id, embedding::DOUBLE[] as vv,
+                          {h.format(x='vec_id::VARCHAR')} as hk
+                   from embeddings),
+        sd as (select vec_id, vv, hk from v order by hk, vec_id limit 4),
+        seeds as (select row_number() over (order by hk, vec_id) as list,
+                         vv as cent from sd),
+        a1 as (select vec_id, vv, list from (
+                 select v.vec_id, v.vv, seeds.list,
+                        row_number() over (partition by v.vec_id order by
+                            {_cos.format(a='v.vv', b='seeds.cent')} desc,
+                            seeds.list asc) as rn
+                 from v cross join seeds) where rn = 1),
+        cd as (select list, dim, round(avg(val), 6) as m from (
+                 select list, unnest(vv) as val,
+                        generate_subscripts(vv, 1) as dim from a1)
+               group by list, dim),
+        cents as (select list, list(m order by dim) as cent
+                  from cd group by list),
+        member as (select vec_id, vv, list from (
+                 select v.vec_id, v.vv, cents.list,
+                        row_number() over (partition by v.vec_id order by
+                            {_cos.format(a='v.vv', b='cents.cent')} desc,
+                            cents.list asc) as rn
+                 from v cross join cents) where rn = 1),
+        q as (select vec_id as query_id, vv as qv from v where vec_id < 5),
+        probed as (select query_id, qv, list from (
+                 select q.query_id, q.qv, cents.list,
+                        row_number() over (partition by q.query_id order by
+                            {_cos.format(a='q.qv', b='cents.cent')} desc,
+                            cents.list asc) as rn
+                 from q cross join cents) where rn <= 2),
+        scored as (select probed.query_id,
+                          member.vec_id,
+                          {_cos.format(a='probed.qv', b='member.vv')} as sim
+                   from probed join member using (list))
+        select query_id, vec_id, sim, rank from (
+          select *, row_number() over (partition by query_id
+              order by sim desc, vec_id asc) as rank from scored)
+        where rank <= 10
     """
 
     sql["embedding_centroids"] = """

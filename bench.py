@@ -83,7 +83,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
     for name in ("dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
                  "dedup_simhash", "token_stats", "quality_scores",
                  "language_id", "fingerprints", "tfidf_topk", "bm25",
-                 "embedding_knn", "embedding_centroids", "graph_degree",
+                 "embedding_knn", "ann_ivf", "embedding_centroids",
+                 "graph_degree",
                  "pagerank", "events_hourly", "sessions"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     run("ann_lsh_buckets", lambda: _noop(lsh_buckets(

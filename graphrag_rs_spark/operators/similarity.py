@@ -9,6 +9,11 @@
                       deterministic md5-derived pseudo-planes: the scale
                       path — candidates only within equal sketches.
   centroids         — per-label mean vector (posexplode + groupBy).
+  near_dup_pairs    — embedding-cosine near-duplicate pairs (exact, or
+                      LSH-bucket-blocked at scale).
+  ivf_topk          — IVF approximate top-k: deterministic coarse
+                      quantizer (hash-seeded, one Lloyd refinement),
+                      probe n closest inverted lists per query.
 
 Cosine is computed in double precision; callers round for cross-engine
 comparison.  At 100 TB the broadcast side must be the small one (queries);
@@ -132,6 +137,125 @@ def lsh_buckets(vectors: DataFrame, n_planes: int = 8,
                            F.lit(0.0), lambda acc, val: acc + val)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return v.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+) -> DataFrame:
+    """→ (id_a, id_b, sim): pairs with cosine ≥ threshold, id_a < id_b.
+
+    n_planes=0 (default) scores all pairs — the exact, oracle-checkable
+    semantic.  n_planes>0 blocks the self-join through `lsh_buckets`
+    first: only same-sketch pairs are scored, bounding candidates to
+    ~n²/2^n_planes at the cost of missing cross-bucket pairs (recall
+    grows with band count; run with several seeds and union for higher
+    recall).  At 100 TB always use the blocked path.
+    """
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    if n_planes > 0:
+        bk = lsh_buckets(vectors, n_planes, id_col, vec_col)
+        a = a.join(bk.withColumnRenamed("vec_id", "id_a"), "id_a")
+        b = b.join(bk.withColumnRenamed("vec_id", "id_b"), "id_b")
+        cond = (F.col("id_a") < F.col("id_b")) & \
+            (a["bucket"] == b["bucket"])
+    else:
+        cond = F.col("id_a") < F.col("id_b")
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _nearest(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each (id, v) to its max-cosine (list, cent); ties → min list.
+
+    `cents` is model-sized (n_lists rows) and broadcast.
+    """
+    scored = points.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "list",
+        F.round(cosine(F.col("v"), F.col("cent")), 6).alias("sim"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("list").asc())
+    return scored.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1).select("id", "v", "list")
+
+
+def _mean_cents(assigned: DataFrame) -> DataFrame:
+    """(id, v, list) → (list, cent): per-list mean, 6-dp rounded.
+
+    Rounding pins the model across engines/partitionings; long-form
+    avg then re-pack keeps it a plain groupBy (no vector UDAF).
+    """
+    agg = assigned.select(
+        "list", F.posexplode("v").alias("dim", "val")) \
+        .groupBy("list", "dim").agg(F.round(F.avg("val"), 6).alias("m"))
+    return agg.groupBy("list").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"]).alias("cent"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """→ (query_id, vec_id, sim, rank): IVF approximate nearest neighbors.
+
+    The scale path for self-serve ANN (vs cosine_topk's exact scan):
+      1. coarse quantizer: seeds = the n_lists vectors with the smallest
+         md5-hash of their id (deterministic, no RNG), one Lloyd
+         refinement → per-list mean centroids (6-dp rounded model);
+      2. every vector is assigned to its nearest centroid (the inverted
+         list) — at 100 TB this table is written bucketed by `list`;
+      3. each query probes only the n_probe nearest lists and scores
+         exactly within them (scan cost ≈ n_probe/n_lists of the data).
+    Approximate: a true neighbor assigned to an unprobed list is missed
+    (raise n_probe for recall).  All ranking on 6-dp-rounded cosine,
+    ties on ids asc — deterministic across engines.
+    """
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = (
+        v.withColumn("hk", h60(F.col("id").cast("string")))
+        .orderBy("hk", "id").limit(n_lists)  # TakeOrderedAndProject
+        .select(F.row_number().over(Window.orderBy("hk", "id"))
+                .alias("list"), F.col("v").alias("cent"))
+    )
+    cents = _mean_cents(_nearest(v, seeds))          # one Lloyd step
+    member = _nearest(v, cents)                      # inverted lists
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "list",
+        F.round(cosine(F.col("qv"), F.col("cent")), 6).alias("csim"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("list").asc())
+    probed = qs.withColumn("rn", F.row_number().over(wq)) \
+        .filter(F.col("rn") <= n_probe).select("query_id", "qv", "list")
+
+    scored = probed.join(member, "list").select(
+        "query_id", F.col("id").alias("vec_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
 
 
 def centroids(vectors: DataFrame, label_col: str = "label",

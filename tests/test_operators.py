@@ -143,6 +143,47 @@ def test_lsh_buckets_deterministic(vecs):
     assert all(0 <= v < 64 for v in b1.values())
 
 
+def test_near_dup_pairs_exact(vecs):
+    pairs = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in similarity.near_dup_pairs(vecs, threshold=0.9).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(a < b for a, b in pairs)
+    assert all(s >= 0.9 for s in pairs.values())
+    # cross-cluster orthogonal pairs are not near-dups
+    assert (0, 2) not in pairs and (0, 4) not in pairs
+
+
+def test_near_dup_blocked_is_subset_of_exact(vecs):
+    exact = {(r["id_a"], r["id_b"])
+             for r in similarity.near_dup_pairs(vecs, threshold=0.5).collect()}
+    blocked = {(r["id_a"], r["id_b"])
+               for r in similarity.near_dup_pairs(
+                   vecs, threshold=0.5, n_planes=4).collect()}
+    assert blocked <= exact
+
+
+def test_ivf_full_probe_equals_exact(vecs):
+    """Probing every list makes IVF scan everything → exact top-k."""
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in similarity.cosine_topk(vecs, q, k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in similarity.ivf_topk(vecs, q, k=3, n_lists=2,
+                                        n_probe=2).collect()}
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_bounded(vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    rows = sorted(
+        similarity.ivf_topk(vecs, q, k=5, n_lists=2, n_probe=1).collect(),
+        key=lambda r: r["rank"])
+    assert 0 < len(rows) < 5          # scans only the probed list
+    assert rows[0]["vec_id"] == 0     # own list always probed first
+
+
 def test_enrich_chunks(spark):
     """T7: keywords ranked by per-chunk TF (ties alphabetical), first-
     sentence summary, chapter tag."""
