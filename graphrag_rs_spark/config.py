@@ -27,6 +27,12 @@ class PipelineConfig:
     # (entity/mod.rs:110-116): PERSON / ORGANIZATION / LOCATION.
     entity_types: tuple[str, ...] = ("PERSON", "ORGANIZATION", "LOCATION")
     min_confidence: float = 0.7
+    # E6 allow/exclude regex over entity names (reference:
+    # config/mod.rs:862-867 custom_patterns / entity filtering).  Applied
+    # as JVM-side rlike filters after the extractor UDF so Catalyst can
+    # fuse them with downstream projections.
+    include_name_pattern: str | None = None
+    exclude_name_patterns: tuple[str, ...] = ()
 
     # Relationship emission (reference: config/mod.rs:887-889, lib.rs:561-568)
     relationship_confidence: float = 0.5

@@ -74,7 +74,15 @@ def extract_chunk_entities(
     src = chunks.select("chunk_id", "doc_id", "content")
     if num_partitions:
         src = src.repartition(num_partitions)
-    return src.mapInPandas(extract_batches, schema=CHUNK_ENTITY_SCHEMA)
+    out = src.mapInPandas(extract_batches, schema=CHUNK_ENTITY_SCHEMA)
+    # E6 allow/exclude name filters — declarative rlike, not inside the
+    # UDF, so the whole-stage-codegen filter prunes rows before any
+    # downstream shuffle
+    if cfg.include_name_pattern:
+        out = out.filter(F.col("name").rlike(cfg.include_name_pattern))
+    for pat in cfg.exclude_name_patterns:
+        out = out.filter(~F.col("name").rlike(pat))
+    return out
 
 
 def entities_table(chunk_entities: DataFrame) -> DataFrame:

@@ -122,6 +122,24 @@ def test_extraction_salting_equivalence(spark, result, tiny_oracle):
     assert got == want
 
 
+def test_entity_name_allow_exclude_filters(result):
+    """E6: include/exclude regex over names prunes extractor output."""
+    from dataclasses import replace
+    base = extraction.extract_chunk_entities(result.chunks, DEFAULT_CONFIG)
+    names = [r["name"] for r in base.select("name").distinct().collect()]
+    victim = sorted(names)[0]
+    cfg_ex = replace(DEFAULT_CONFIG,
+                     exclude_name_patterns=(f"^{victim}$",))
+    ex = extraction.extract_chunk_entities(result.chunks, cfg_ex)
+    left = {r["name"] for r in ex.select("name").distinct().collect()}
+    assert victim not in left
+    assert left == set(names) - {victim}
+    cfg_in = replace(DEFAULT_CONFIG, include_name_pattern=f"^{victim}$")
+    only = {r["name"] for r in extraction.extract_chunk_entities(
+        result.chunks, cfg_in).select("name").distinct().collect()}
+    assert only == {victim}
+
+
 def test_no_entity_below_confidence_threshold(result):
     n = result.entities.filter(
         F.col("confidence") < DEFAULT_CONFIG.min_confidence).count()
