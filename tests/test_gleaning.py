@@ -1,0 +1,118 @@
+"""Gleaning loop (E8-E10) with the deterministic fake LM.
+
+The fake reveals pattern-extracted entities in md5 waves, so multi-round
+behavior, per-chunk dropout, the E9 longer-description merge, mention
+re-scanning, and relationship resolution all execute for real.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_rs_spark.stages.gleaning import (
+    FakeGleaningLM, entity_id_for, gleaning_extract,
+    parse_extraction_response)
+
+TEXTS = [
+    ("c1", "Alice Johnson met Bob Smith at the Acme Corporation office "
+           "in Paris. Alice Johnson presented the migration plan and "
+           "Bob Smith reviewed the rollout schedule with Carol Danvers."),
+    ("c2", "The Globex Industries team from Berlin shipped the indexing "
+           "service. David Miller wrote the storage layer for Globex "
+           "Industries while visiting London."),
+    ("c3", "it was quiet. nothing notable happened here at all."),
+]
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    return spark.createDataFrame(
+        TEXTS, "chunk_id string, content string").cache()
+
+
+@pytest.fixture(scope="module")
+def extracted(chunks):
+    ents, mentions, rels = gleaning_extract(
+        chunks, FakeGleaningLM, max_rounds=4)
+    return ents.collect(), mentions.collect(), rels.collect()
+
+
+def test_parse_response_fallback_ladder():
+    body = ('{"entities": [{"name": "X", "entity_type": "PERSON", '
+            '"description": "d"}], "relationships": []}')
+    for wrapped in (body,
+                    f"```json\n{body}\n```",
+                    f"Sure! Here you go:\n{body}\nHope that helps."):
+        ents, rels = parse_extraction_response(wrapped)
+        assert [e["name"] for e in ents] == ["X"]
+    assert parse_extraction_response("not json at all") == ([], [])
+
+
+def test_waves_union_to_full_pattern_extraction(extracted):
+    """All waves eventually surface: gleaning converges to the same name
+    set one-shot pattern extraction produces."""
+    ents, _, _ = extracted
+    fake = FakeGleaningLM()
+    want = set()
+    for cid, text in TEXTS:
+        want |= {(cid, n.lower()) for n, _ in fake._all_entities(text)}
+    got = {(r["chunk_id"], r["name"].lower()) for r in ents}
+    assert got == want
+    assert len(want) > 3          # fixture really exercises the loop
+
+
+def test_multiround_merge_kept_longer_description(extracted):
+    """The fake re-emits a known entity with a longer description in
+    continuation rounds; E9 merge must keep it."""
+    ents, _, _ = extracted
+    longer = [r for r in ents
+              if "seen again with more" in r["description"]]
+    assert longer                  # ≥2 waves happened AND merge kept max
+
+
+def test_entity_ids_match_reference_normalization(extracted):
+    ents, _, _ = extracted
+    for r in ents:
+        assert r["entity_id"] == entity_id_for(
+            r["name"], r["entity_type"])
+        assert r["confidence"] == 0.9
+
+
+def test_mentions_point_at_real_spans(chunks, extracted):
+    _, mentions, _ = extracted
+    text_by_chunk = {r["chunk_id"]: r["content"]
+                     for r in chunks.collect()}
+    ents, _, _ = extracted
+    name_by_id = {(r["chunk_id"], r["entity_id"]): r["name"]
+                  for r in ents}
+    assert mentions
+    for m in mentions:
+        t = text_by_chunk[m["chunk_id"]]
+        span = t[m["start_offset"]:m["end_offset"]]
+        name = name_by_id[(m["chunk_id"], m["entity_id"])]
+        if m["confidence"] == 0.9:
+            assert span == name
+        else:
+            assert m["confidence"] == 0.85
+            assert span.lower() == name.lower()
+
+
+def test_relationships_resolved_and_deduped(extracted):
+    ents, _, rels = extracted
+    ids = {(r["chunk_id"], r["entity_id"]) for r in ents}
+    keys = [(r["chunk_id"], r["subj"], r["pred"], r["obj"])
+            for r in rels]
+    assert len(keys) == len(set(keys))
+    for r in rels:
+        assert (r["chunk_id"], r["subj"]) in ids
+        assert (r["chunk_id"], r["obj"]) in ids
+
+
+def test_gleaning_deterministic_across_partitioning(spark, chunks):
+    e1, _, _ = gleaning_extract(chunks, FakeGleaningLM, max_rounds=4)
+    e2, _, _ = gleaning_extract(chunks.repartition(7), FakeGleaningLM,
+                                max_rounds=4)
+    k1 = {(r["chunk_id"], r["entity_id"], r["description"])
+          for r in e1.collect()}
+    k2 = {(r["chunk_id"], r["entity_id"], r["description"])
+          for r in e2.collect()}
+    assert k1 == k2
