@@ -226,6 +226,26 @@ def q_bm25(spark, sf_dir):
                        top_k=20)
 
 
+DUAL_HIGH_TERMS = ["table", "query"]     # thematic → topic index
+DUAL_LOW_TERMS = ["vector", "join"]      # entity-ish → chunk index
+
+
+def q_dual_retrieval(spark, sf_dir):
+    """Q9 LightRAG dual-level retrieval: BM25 over a summary (topic)
+    index and the full-document (entity/chunk) index, interleave-merged
+    with id-dedup."""
+    from graphrag_rs_spark.retrieval.dual import dual_retrieve
+    from graphrag_rs_spark.stages.enrich import FIRST_SENTENCE_RE
+    docs = _docs(spark, sf_dir)
+    sent = F.regexp_extract("text", FIRST_SENTENCE_RE, 1)
+    high = docs.select(
+        "doc_id",
+        F.when(sent != "", sent).otherwise(
+            F.substring("text", 1, 200)).alias("text"))
+    return dual_retrieve(high, docs, DUAL_HIGH_TERMS, DUAL_LOW_TERMS,
+                         top_k=15, strategy="interleave")
+
+
 def q_embedding_knn(spark, sf_dir):
     from graphrag_rs_spark.operators.similarity import cosine_topk
     emb = _emb(spark, sf_dir)
@@ -379,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_ner": q_dictionary_ner,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
+        "dual_retrieval": q_dual_retrieval,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -791,6 +812,64 @@ def oracle_sql() -> dict[str, str]:
           group by tf.doc_id)
         select doc_id, score from scored
         order by score desc, doc_id asc limit 20
+    """
+
+    def _bm25_side(side: str, src_sql: str, terms: list[str],
+                   top_k: int) -> str:
+        """CTE chain scoring `terms` against corpus `src_sql` with the
+        same Lucene-variant BM25 as retrieval/bm25.py."""
+        ts = "['" + "','".join(terms) + "']"
+        return f"""
+        src_{side} as ({src_sql}),
+        toks_{side} as (select doc_id, unnest({bm25_toks}) as term
+                        from src_{side}),
+        tf_{side} as (select doc_id, term, count(*) as tf
+                      from toks_{side} group by doc_id, term),
+        dl_{side} as (select doc_id, count(*) as doc_len
+                      from toks_{side} group by doc_id),
+        dfreq_{side} as (select term, count(distinct doc_id) as df
+                         from tf_{side} group by term),
+        consts_{side} as (
+          select (select count(*)::DOUBLE from src_{side}) as n_docs,
+                 (select avg(doc_len) from dl_{side}) as avgdl),
+        scored_{side} as (
+          select tf.doc_id,
+                 round(sum((ln((select n_docs from consts_{side})
+                         / dfreq.df) + 1.0)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len
+                         / (select avgdl from consts_{side})))), 6) as score
+          from tf_{side} tf join dl_{side} dl using (doc_id)
+          join dfreq_{side} dfreq using (term)
+          where list_contains({ts}, tf.term)
+          group by tf.doc_id),
+        ranked_{side} as (
+          select doc_id, score,
+                 row_number() over (order by score desc, doc_id asc)
+                   as lvl_rank
+          from scored_{side} qualify lvl_rank <= {top_k})
+        """
+
+    _summary_src = ("select doc_id, case when regexp_extract(text, "
+                    "'^\\s*(.*?[.!?])(?:\\s|$)', 1) <> '' "
+                    "then regexp_extract(text, '^\\s*(.*?[.!?])(?:\\s|$)', 1) "
+                    "else substr(text, 1, 200) end as text from documents")
+    sql["dual_retrieval"] = f"""
+        with {_bm25_side('h', _summary_src, DUAL_HIGH_TERMS, 15)},
+        {_bm25_side('l', 'select doc_id, text from documents',
+                    DUAL_LOW_TERMS, 15)},
+        placed as (
+          select doc_id as id, 'high' as level, score,
+                 lvl_rank * 2 - 1 as pos from ranked_h
+          union all
+          select doc_id as id, 'low' as level, score,
+                 lvl_rank * 2 as pos from ranked_l),
+        dd as (select *, row_number() over (partition by id
+                   order by pos asc) as dup from placed)
+        select id, level, score,
+               row_number() over (order by pos asc) as rank
+        from dd where dup = 1
+        qualify rank <= 15
     """
 
     sql["embedding_knn"] = """

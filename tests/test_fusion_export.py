@@ -68,6 +68,73 @@ def test_personalized_pagerank(spark):
         assert math.isclose(pr_u[n], pr_plain[n], rel_tol=1e-9)
 
 
+@pytest.fixture(scope="module")
+def dual_corpora(spark):
+    high = spark.createDataFrame(
+        [("d1", "databases overview and storage themes"),
+         ("d2", "networking themes and routing overview"),
+         ("d3", "storage compression themes")],
+        "doc_id string, text string")
+    low = spark.createDataFrame(
+        [("d1", "postgres postgres btree index details"),
+         ("d2", "router firmware packet details"),
+         ("d4", "btree split algorithm details postgres")],
+        "doc_id string, text string")
+    return high, low
+
+
+def test_dual_retrieve_interleave_alternates_and_dedups(dual_corpora):
+    from graphrag_rs_spark.retrieval.dual import dual_retrieve
+    high, low = dual_corpora
+    out = dual_retrieve(high, low, ["storage", "themes"],
+                        ["postgres", "details"], top_k=6).collect()
+    rows = sorted(out, key=lambda r: r["rank"])
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))          # id-dedup
+    assert rows[0]["level"] == "high"         # interleave starts high
+    assert rows[1]["level"] == "low"
+    levels = {r["level"] for r in rows}
+    assert levels == {"high", "low"}
+
+
+def test_dual_retrieve_order_strategies(dual_corpora):
+    from graphrag_rs_spark.retrieval.dual import dual_retrieve
+    high, low = dual_corpora
+    hf = [r["level"] for r in sorted(
+        dual_retrieve(high, low, ["themes"], ["details"], top_k=6,
+                      strategy="high_first").collect(),
+        key=lambda r: r["rank"])]
+    assert hf == sorted(hf, key=lambda lv: lv != "high")
+    lf = [r["level"] for r in sorted(
+        dual_retrieve(high, low, ["themes"], ["details"], top_k=6,
+                      strategy="low_first").collect(),
+        key=lambda r: r["rank"])]
+    assert lf == sorted(lf, key=lambda lv: lv != "low")
+
+
+def test_dual_retrieve_weighted_reorders(dual_corpora):
+    from graphrag_rs_spark.retrieval.dual import dual_retrieve
+    high, low = dual_corpora
+    out = sorted(
+        dual_retrieve(high, low, ["themes"], ["details"], top_k=6,
+                      strategy="weighted", high_weight=0.01,
+                      low_weight=0.99).collect(),
+        key=lambda r: r["rank"])
+    assert out[0]["level"] == "low"    # crushing the high weight
+
+
+def test_split_keywords_reference_fallback():
+    from graphrag_rs_spark.retrieval.dual import split_keywords
+    high, low = split_keywords("Who wrote the storage layer for Globex")
+    assert high == []                  # reference fallback: all → low
+    assert low == ["wrote", "storage", "layer", "globex"]
+    high, low = split_keywords(
+        "Who wrote the storage layer for Globex",
+        entity_names={"globex"})
+    assert low == ["globex"]
+    assert "storage" in high and "globex" not in high
+
+
 def test_export_roundtrip(spark, tmp_path):
     from graphrag_rs_spark.stages.export import (export_graph_json,
                                                  load_graph_json)
