@@ -254,6 +254,12 @@ def q_embedding_knn(spark, sf_dir):
     return cosine_topk(emb, queries, k=10)
 
 
+def q_hash_embeddings(spark, sf_dir):
+    """Q1 hash-TF embeddings (reference's no-GPU embedder), 16-dim."""
+    from graphrag_rs_spark.functions.embeddings import hash_embeddings
+    return hash_embeddings(_docs(spark, sf_dir), dim=16)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact path; LSH-blocked at scale)."""
     from graphrag_rs_spark.operators.similarity import near_dup_pairs
@@ -400,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "dual_retrieval": q_dual_retrieval,
+        "hash_embeddings": q_hash_embeddings,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -884,6 +891,37 @@ def oracle_sql() -> dict[str, str]:
         r as (select *, row_number() over (partition by query_id
                   order by sim desc, vec_id asc) as rank from s)
         select query_id, vec_id, sim, rank from r where rank <= 10
+    """
+
+    sql["hash_embeddings"] = f"""
+        with toks as (
+          select doc_id as id,
+                 unnest(list_filter(regexp_split_to_array(
+                     lower(trim(text)), '\\s+'), x -> x <> '')) as word
+          from documents),
+        nw as (select id, count(*) as n_words from toks group by id),
+        raw as (
+          select word, d.dim,
+                 (({h.format(x="word || ':' || d.dim::VARCHAR")} % 2000)
+                  - 1000) / 1000.0 as v
+          from (select distinct word from toks)
+          cross join (select unnest(generate_series(0, 15)) as dim) d),
+        nrm as (select word, sqrt(sum(v * v)) as nrm
+                from raw group by word),
+        wv as (select raw.word, raw.dim,
+                      round(case when nrm.nrm > 0 then raw.v / nrm.nrm
+                            else 0.0 end, 8) as wv
+               from raw join nrm using (word)),
+        summed as (
+          select toks.id, wv.dim, sum(wv.wv) / any_value(nw.n_words) as m
+          from toks join wv using (word) join nw using (id)
+          group by toks.id, wv.dim),
+        dn as (select id, sqrt(sum(m * m)) as nrm
+               from summed group by id)
+        select summed.id, summed.dim,
+               round(case when dn.nrm > 0 then summed.m / dn.nrm
+                     else 0.0 end, 6) as value
+        from summed join dn using (id)
     """
 
     sql["embedding_near_dup"] = """

@@ -184,6 +184,28 @@ def test_ivf_partial_probe_bounded(vecs):
     assert rows[0]["vec_id"] == 0     # own list always probed first
 
 
+def test_hash_embeddings_unit_norm_and_deterministic(spark):
+    from graphrag_rs_spark.functions.embeddings import (hash_embeddings,
+                                                        pack_embeddings)
+    docs = spark.createDataFrame(
+        [("a", "spark joins tables fast"),
+         ("b", "spark joins tables fast"),        # identical text
+         ("c", "completely different words here")],
+        "doc_id string, text string")
+    emb = hash_embeddings(docs, dim=8)
+    packed = {r["id"]: list(r["embedding"])
+              for r in pack_embeddings(emb).collect()}
+    assert all(len(v) == 8 for v in packed.values())
+    for v in packed.values():                     # L2-normalized
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4
+    assert packed["a"] == packed["b"]             # same text, same vector
+    assert packed["a"] != packed["c"]
+    emb2 = {(r["id"], r["dim"]): r["value"] for r in
+            hash_embeddings(docs.repartition(5), dim=8).collect()}
+    emb1 = {(r["id"], r["dim"]): r["value"] for r in emb.collect()}
+    assert emb1 == emb2                           # partition-invariant
+
+
 def test_enrich_chunks(spark):
     """T7: keywords ranked by per-chunk TF (ties alphabetical), first-
     sentence summary, chapter tag."""
