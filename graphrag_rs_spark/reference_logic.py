@@ -827,3 +827,71 @@ def compute_similarity(
     if use_phonetic:
         scores.append(0.9 if soundex(n1) == soundex(n2) else 0.0)
     return max(scores) if scores else 0.0
+
+
+def split_sentences(text: str) -> list[str]:
+    """Transliteration of SemanticChunker::split_sentences
+    (text/semantic_chunking.rs:137-176): line-wise, blank lines flush,
+    split_inclusive on .!? with trimmed parts joined by single spaces."""
+    sentences: list[str] = []
+    current = ""
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            if current:
+                sentences.append(current.strip())
+                current = ""
+            continue
+        parts, buf = [], ""
+        for ch in line:
+            buf += ch
+            if ch in ".!?":
+                parts.append(buf)
+                buf = ""
+        if buf:
+            parts.append(buf)
+        for part in parts:
+            part = part.strip()
+            if not part:
+                continue
+            current += part + " "
+            if part.endswith((".", "!", "?")):
+                sentences.append(current.strip())
+                current = ""
+    if current.strip():
+        sentences.append(current.strip())
+    return sentences
+
+
+def create_semantic_chunks(
+    sentences: list[str],
+    breakpoints: list[int],
+    min_chunk_size: int = 1,
+    max_chunk_size: int = 0,
+) -> list[tuple[str, int, int]]:
+    """Transliteration of SemanticChunker::create_chunks
+    (text/semantic_chunking.rs:268-318) → [(content, start, end)].
+
+    Faithful quirks: a segment below min_chunk_size is skipped WITHOUT
+    advancing start (it merges into the following segment); oversize
+    segments split into max_chunk_size pieces.
+    """
+    chunks: list[tuple[str, int, int]] = []
+    start = 0
+    for end in [*breakpoints, len(sentences)]:
+        if end <= start:
+            continue
+        count = end - start
+        if count < min_chunk_size:
+            continue
+        if 0 < max_chunk_size < count:
+            sub = start
+            while sub < end:
+                sub_end = min(sub + max_chunk_size, end)
+                chunks.append((" ".join(sentences[sub:sub_end]),
+                               sub, sub_end))
+                sub = sub_end
+        else:
+            chunks.append((" ".join(sentences[start:end]), start, end))
+        start = end
+    return chunks
