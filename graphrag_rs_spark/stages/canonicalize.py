@@ -126,14 +126,23 @@ def score_pairs(pairs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataF
 def canonical_map(
     entities: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    extra_edges: DataFrame | None = None,
 ) -> DataFrame:
-    """→ (entity_id, canonical_id) for EVERY entity (identity rows included)."""
+    """→ (entity_id, canonical_id) for EVERY entity (identity rows included).
+
+    `extra_edges` (src, dst) unions additional merge evidence into the
+    closure — e.g. L4 semantic pairs from
+    `stages/semantic_links.semantic_merge_pairs`; CC makes the combined
+    relation's transitive closure order-independent.
+    """
     pairs = candidate_pairs(entities)
     edges = (
         score_pairs(pairs, cfg)
         .filter(F.col("sim") >= F.lit(float(cfg.link_min_similarity)))
         .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
     )
+    if extra_edges is not None:
+        edges = edges.union(extra_edges.select("src", "dst"))
     comps = connected_components(
         edges, nodes=entities.select(F.col("entity_id").alias("node")),
         max_iterations=cfg.cc_max_iterations,
