@@ -91,23 +91,30 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("in_rank"))
         )
-        dangling = 0.0
         if has_dangling:
-            dangling = (
+            # dangling mass as a broadcast 1-row scalar, NOT a driver
+            # collect: collecting forced one extra synchronous job per
+            # iteration (2 barriers/step instead of 1 — half the loop's
+            # wall time on small graphs); as a cross-joined aggregate it
+            # rides inside the same job as the rank update.  Arithmetic
+            # is unchanged (same sum over the same rows).
+            dm_df = F.broadcast(
                 ranks.join(dangling_nodes, "node", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-                .collect()[0]["dm"]
-            )
-        ranks = (
-            teleport
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                ((1.0 - damping) * F.col("t")
-                 + F.lit(damping)
-                 * (F.coalesce(F.col("in_rank"), F.lit(0.0))
-                    + F.lit(dangling) * F.col("t"))).alias("rank"),
-            )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+            dangling = F.col("dm")
+        else:
+            dm_df = None
+            dangling = F.lit(0.0)
+        nxt = teleport.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left")
+        if dm_df is not None:
+            nxt = nxt.crossJoin(dm_df)
+        ranks = nxt.select(
+            "node",
+            ((1.0 - damping) * F.col("t")
+             + F.lit(damping)
+             * (F.coalesce(F.col("in_rank"), F.lit(0.0))
+                + dangling * F.col("t"))).alias("rank"),
         )
         # materialize each step: the next iteration (and the dangling
         # aggregate) must not recompute the whole prefix of the loop

@@ -70,13 +70,15 @@ def candidate_pairs(entities: DataFrame) -> DataFrame:
         ).alias("block_key"),
     ).filter(F.length("block_key") > 0)
 
-    # cap pathological blocks (e.g. token "inc" across every org)
-    block_sizes = keyed.groupBy("entity_type", "block_key").count()
-    keyed = keyed.join(
-        block_sizes.filter(F.col("count") <= MAX_BLOCK_SIZE)
-        .select("entity_type", "block_key"),
-        ["entity_type", "block_key"],
-    )
+    # cap pathological blocks (e.g. token "inc" across every org) — a
+    # window count over the block key, not groupBy+join-back: one shuffle
+    # instead of two, and the subsequent self-join reuses the same
+    # hash-partitioning on block_key
+    from pyspark.sql import Window
+    block_n = F.count(F.lit(1)).over(
+        Window.partitionBy("entity_type", "block_key"))
+    keyed = keyed.withColumn("_bn", block_n) \
+        .filter(F.col("_bn") <= MAX_BLOCK_SIZE).drop("_bn")
 
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
