@@ -40,9 +40,15 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    # Setup stays fully LAZY: node count, normalization totals, and the
+    # dangling set all become broadcast 1-row aggregates cross-joined
+    # into the plan instead of driver collect()/count() calls — the
+    # whole setup rides inside the first iteration's job (zero extra
+    # barriers; the driver loop only submits one job per power step).
+    # Arithmetic is bit-identical: JVM double division == Python float.
+    n_df = F.broadcast(nodes.agg(
+        F.count(F.lit(1)).cast("double").alias("n_nodes")))
 
     wcol = F.col("weight") if weighted else F.lit(1.0)
     out_w = edges.groupBy("src").agg(F.sum(wcol).alias("out_w"))
@@ -52,24 +58,29 @@ def pagerank(
         .persist()
     )
 
-    # dangling nodes are a static set — find them once; graphs without
-    # them (e.g. symmetrized edges) skip the per-iteration driver sync
+    # dangling nodes are a static set — persisted once; when the graph
+    # has none (e.g. symmetrized edges) the per-iteration aggregate over
+    # the empty set costs one empty-scan inside the same job
     dangling_nodes = nodes.join(
         out_w.withColumnRenamed("src", "node"), "node", "left_anti"
     ).persist()
-    has_dangling = dangling_nodes.count() > 0
 
     # teleport distribution: uniform, or the normalized reset vector
     if reset is not None:
-        total_w = reset.agg(F.sum("weight")).collect()[0][0] or 1.0
+        _tw = F.coalesce(F.sum("weight"), F.lit(0.0))
+        total_w_df = F.broadcast(reset.agg(
+            # 0-or-empty reset degenerates to divisor 1 (matches the old
+            # `collect()[0][0] or 1.0` driver-side semantics exactly)
+            F.when(_tw == 0.0, F.lit(1.0)).otherwise(_tw).alias("total_w")))
         teleport = F.broadcast(
-            nodes.join(reset, "node", "left")
+            nodes.join(reset, "node", "left").crossJoin(total_w_df)
             .select("node",
-                    (F.coalesce(F.col("weight"), F.lit(0.0)) / total_w)
-                    .alias("t"))
+                    (F.coalesce(F.col("weight"), F.lit(0.0))
+                     / F.col("total_w")).alias("t"))
         ).persist()
     else:
-        teleport = nodes.select("node", F.lit(1.0 / n).alias("t")).persist()
+        teleport = nodes.crossJoin(n_df).select(
+            "node", (F.lit(1.0) / F.col("n_nodes")).alias("t")).persist()
 
     if init_ranks is not None:
         # warm start (incremental recompute): carry over previous ranks,
@@ -78,10 +89,12 @@ def pagerank(
             teleport.join(init_ranks.withColumnRenamed("rank", "prev"),
                           "node", "left")
             .select("node", F.coalesce("prev", "t").alias("rank0"))
-        )
-        total = warm.agg(F.sum("rank0")).collect()[0][0] or 1.0
-        ranks = warm.select(
-            "node", (F.col("rank0") / F.lit(total)).alias("rank"))
+        ).persist()
+        _t0 = F.coalesce(F.sum("rank0"), F.lit(0.0))
+        total_df = F.broadcast(warm.agg(
+            F.when(_t0 == 0.0, F.lit(1.0)).otherwise(_t0).alias("total0")))
+        ranks = warm.crossJoin(total_df).select(
+            "node", (F.col("rank0") / F.col("total0")).alias("rank"))
     else:
         ranks = teleport.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
@@ -91,30 +104,26 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("in_rank"))
         )
-        if has_dangling:
-            # dangling mass as a broadcast 1-row scalar, NOT a driver
-            # collect: collecting forced one extra synchronous job per
-            # iteration (2 barriers/step instead of 1 — half the loop's
-            # wall time on small graphs); as a cross-joined aggregate it
-            # rides inside the same job as the rank update.  Arithmetic
-            # is unchanged (same sum over the same rows).
-            dm_df = F.broadcast(
-                ranks.join(dangling_nodes, "node", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
-            dangling = F.col("dm")
-        else:
-            dm_df = None
-            dangling = F.lit(0.0)
-        nxt = teleport.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left")
-        if dm_df is not None:
-            nxt = nxt.crossJoin(dm_df)
-        ranks = nxt.select(
-            "node",
-            ((1.0 - damping) * F.col("t")
-             + F.lit(damping)
-             * (F.coalesce(F.col("in_rank"), F.lit(0.0))
-                + dangling * F.col("t"))).alias("rank"),
+        # dangling mass as a broadcast 1-row scalar, NOT a driver
+        # collect: collecting forced one extra synchronous job per
+        # iteration (2 barriers/step instead of 1 — half the loop's
+        # wall time on small graphs); as a cross-joined aggregate it
+        # rides inside the same job as the rank update.  Arithmetic
+        # is unchanged (same sum over the same rows; empty set → 0.0).
+        dm_df = F.broadcast(
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+        ranks = (
+            teleport
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(dm_df)
+            .select(
+                "node",
+                ((1.0 - damping) * F.col("t")
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("in_rank"), F.lit(0.0))
+                    + F.col("dm") * F.col("t"))).alias("rank"),
+            )
         )
         # materialize each step: the next iteration (and the dangling
         # aggregate) must not recompute the whole prefix of the loop
@@ -126,6 +135,8 @@ def pagerank(
     norm_edges.unpersist()
     dangling_nodes.unpersist()
     teleport.unpersist()
+    if init_ranks is not None:
+        warm.unpersist()
     return out
 
 
