@@ -384,6 +384,30 @@ def q_sessions(spark, sf_dir):
         .alias("session_end_s"))
 
 
+def q_conflict_merge(spark, sf_dir):
+    """I4 conflict resolution (reference graph/incremental/conflict.rs):
+    two deterministic entity increments derived from `documents`, resolved
+    with the `merge` strategy — higher confidence takes name/type,
+    confidences max, mention counts add, non-conflicts pass through."""
+    from graphrag_rs_spark.streaming.conflict import resolve_entity_conflicts
+    d = _docs(spark, sf_dir)
+    eid = F.concat(F.lit("E"), F.col("doc_id").cast("string")) \
+        .alias("entity_id")
+    existing = d.filter(F.col("doc_id") % 3 != 0).select(
+        eid, F.col("source").alias("name"), F.col("lang").alias("entity_type"),
+        ((F.col("n_chars") % 100).cast("double") / 100.0).alias("confidence"),
+        (F.col("n_chars") % 7).alias("mention_count"))
+    incoming = d.filter(F.col("doc_id") % 2 == 0).select(
+        eid, F.upper("source").alias("name"),
+        F.upper("lang").alias("entity_type"),
+        ((F.col("n_chars") % 97).cast("double") / 97.0).alias("confidence"),
+        (F.col("n_chars") % 5).alias("mention_count"))
+    out = resolve_entity_conflicts(existing, incoming, "merge")
+    return out.select("entity_id", "name", "entity_type",
+                      F.round("confidence", 6).alias("confidence"),
+                      "mention_count")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -419,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_summary": q_hier_summary,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "conflict_merge": q_conflict_merge,
     }
 
 
@@ -1065,5 +1090,39 @@ def oracle_sql() -> dict[str, str]:
                min(tss) as session_start_s,
                max(tss) as session_end_s
         from sess group by user_id, session_id
+    """
+
+    sql["conflict_merge"] = """
+        with existing as (
+          select 'E' || cast(doc_id as varchar) as entity_id,
+                 source as name, lang as entity_type,
+                 cast(n_chars % 100 as double) / 100.0 as confidence,
+                 n_chars % 7 as mention_count
+          from documents where doc_id % 3 <> 0),
+        incoming as (
+          select 'E' || cast(doc_id as varchar) as entity_id,
+                 upper(source) as name, upper(lang) as entity_type,
+                 cast(n_chars % 97 as double) / 97.0 as confidence,
+                 n_chars % 5 as mention_count
+          from documents where doc_id % 2 = 0)
+        select coalesce(e.entity_id, i.entity_id) as entity_id,
+               case when e.entity_id is null then i.name
+                    when i.entity_id is null then e.name
+                    when i.confidence > e.confidence then i.name
+                    else e.name end as name,
+               case when e.entity_id is null then i.entity_type
+                    when i.entity_id is null then e.entity_type
+                    when i.confidence > e.confidence then i.entity_type
+                    else e.entity_type end as entity_type,
+               round(case when e.entity_id is null then i.confidence
+                          when i.entity_id is null then e.confidence
+                          else greatest(e.confidence, i.confidence) end,
+                     6) as confidence,
+               case when e.entity_id is null then i.mention_count
+                    when i.entity_id is null then e.mention_count
+                    else e.mention_count + i.mention_count
+                    end as mention_count
+        from existing e full outer join incoming i
+          on e.entity_id = i.entity_id
     """
     return sql
