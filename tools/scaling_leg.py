@@ -39,9 +39,11 @@ def main() -> None:
 
     t0 = time.time()
     res = run_pipeline(spark, transcripts, cfg, num_partitions=par)
-    noop(res.canonical_triples)
-    noop(res.communities)
-    noop(res.mentions)
+    # independent DAG leaves — materialize concurrently (same as bench.py)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(noop, [res.canonical_triples, res.communities,
+                           res.mentions]))
     wall = time.time() - t0
     print(json.dumps({
         "par": par, "turns": n_turns, "wall_sec": round(wall, 1),
