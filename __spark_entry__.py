@@ -408,6 +408,41 @@ def q_conflict_merge(spark, sf_dir):
                       "mention_count")
 
 
+def q_sage_embeddings(spark, sf_dir):
+    """G12 GraphSAGE-mean layers (reference graph/embeddings.rs:358-498)
+    over the embeddings table: hub graph vec_id -> vec_id % 97, 2 layers,
+    flattened to (node, pos, v) for the value-level oracle."""
+    from graphrag_rs_spark.algos.embeddings import sage_mean_embeddings
+    emb = _emb(spark, sf_dir)
+    feats = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").cast("array<double>").alias("features"))
+    edges = emb.select(
+        F.col("vec_id").alias("src"),
+        (F.col("vec_id") % 97).alias("dst")).filter(F.col("src") != F.col("dst"))
+    out = sage_mean_embeddings(feats, edges, num_layers=2)
+    return out.select(
+        "node", F.posexplode("features").alias("pos", "v")).select(
+        "node", "pos", F.round("v", 6).alias("v"))
+
+
+def q_node2vec(spark, sf_dir):
+    """G12 node2vec: deterministic hash-seeded walks + distributed
+    Word2Vec skip-gram (reference graph/embeddings.rs:132-310).  Training
+    is not SQL-expressible — rows-only contract; value-level properties
+    (walk determinism, transition weighting, SAGE parity) are pytest-
+    verified in tests/test_embeddings.py."""
+    from graphrag_rs_spark.algos.embeddings import node2vec_embeddings
+    emb = _emb(spark, sf_dir)
+    edges = emb.select(
+        F.col("vec_id").cast("string").alias("src"),
+        ((F.col("vec_id") * 3 + 1) % 97).cast("string").alias("dst")) \
+        .filter(F.col("src") != F.col("dst"))
+    out = node2vec_embeddings(edges, dimension=16, walks_per_node=2,
+                              walk_length=5, window=3, seed=42)
+    return out.select("node", F.size("embedding").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -444,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "conflict_merge": q_conflict_merge,
+        "sage_embeddings": q_sage_embeddings,
+        "node2vec": q_node2vec,
     }
 
 
@@ -1124,5 +1161,28 @@ def oracle_sql() -> dict[str, str]:
                     end as mention_count
         from existing e full outer join incoming i
           on e.entity_id = i.entity_id
+    """
+
+    sql["sage_embeddings"] = """
+        with f0 as (select vec_id as node, embedding as f from embeddings),
+        e as (select vec_id as src, vec_id % 97 as dst from embeddings
+              where vec_id % 97 <> vec_id),
+        x0 as (select node,
+                      generate_subscripts(f, 1) - 1 as pos,
+                      unnest(f)::DOUBLE as v
+               from f0),
+        n1 as (select e.src as node, x.pos, avg(x.v) as m
+               from e join x0 x on x.node = e.dst group by 1, 2),
+        l1 as (select x0.node, x0.pos,
+                      (x0.v + coalesce(n1.m, 0.0)) / 2.0 as v
+               from x0 left join n1
+                 on n1.node = x0.node and n1.pos = x0.pos),
+        n2 as (select e.src as node, l1.pos, avg(l1.v) as m
+               from e join l1 on l1.node = e.dst group by 1, 2),
+        l2 as (select l1.node, l1.pos,
+                      (l1.v + coalesce(n2.m, 0.0)) / 2.0 as v
+               from l1 left join n2
+                 on n2.node = l1.node and n2.pos = l1.pos)
+        select node, pos, round(v, 6) as v from l2
     """
     return sql

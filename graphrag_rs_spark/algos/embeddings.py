@@ -1,0 +1,226 @@
+"""G12 — graph embeddings: node2vec-style walks + GraphSAGE-mean layers.
+
+Distributed re-expression of the reference's graph/embeddings.rs:
+
+* Node2Vec (embeddings.rs:132-310): biased random walks + skip-gram.
+  - Walks (`random_walks`) are generated as an ITERATIVE JOIN LOOP, one
+    step per join, entirely JVM-side: the neighbor choice is a
+    deterministic hash-seeded categorical draw implementing exactly the
+    reference's transition weights (first step uniform over neighbors,
+    embeddings.rs:193-196; later steps weight × (1/p if next==prev else
+    1/q), :211-240 — note the reference's "BFS vs DFS" check reads
+    `neighbor == prev` only, and we transliterate that, not the full
+    node2vec 2nd-order rule).  The reference uses `thread_rng` (walks
+    are not reproducible run-to-run); we substitute xxhash64-seeded
+    inverse-CDF sampling so walks are deterministic per
+    (node, walk, step, seed) — same distribution, reproducible output.
+  - Skip-gram training maps to `pyspark.ml.feature.Word2Vec` (JVM,
+    distributed, negative-sampling-free hierarchical softmax) instead of
+    a hand-rolled SGD loop: the reference's train_skipgram
+    (embeddings.rs:242-310) is the single-node equivalent.
+
+* GraphSAGE (embeddings.rs:358-498): iterative mean aggregation.
+  `sage_mean_embeddings` transliterates the Mean aggregator layer
+  (:438-463 — neighbor mean, zeros when no neighbors) and combine rule
+  (:485-498 — elementwise (self + nbr_mean)/2), over caller-provided
+  input features (e.g. `functions/embeddings.hash_embeddings`) instead
+  of the reference's `rng.gen()` random init ("random for now", :375-385)
+  — deterministic, and equal to the reference when samples_per_layer ≥
+  degree (sampling-without-replacement of ALL neighbors is the identity
+  for a mean).
+
+Scale posture: adjacency is a grouped array table shuffled once; each
+walk step is one shuffle join against it (salting unnecessary — walker
+rows are uniformly keyed by (node, walk_id)); plans are cut with
+localCheckpoint every few steps, same discipline as algos/cc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_M = 1_000_003  # modulus for the [0,1) hash draw (prime, > any degree²)
+
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """(src, dst[, weight]) → (node, nbrs array<struct<dst,w>> sorted by dst)."""
+    wcol = F.col("weight").cast("double") if "weight" in edges.columns \
+        else F.lit(1.0)
+    return (
+        edges.select(F.col("src").alias("node"),
+                     F.struct(F.col("dst").cast("string").alias("dst"),
+                              wcol.alias("w")).alias("nb"))
+        .repartition("node")
+        .groupBy("node")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("nb")))
+             .alias("nbrs"))
+    )
+
+
+def _pick_expr(alphas, u_frac):
+    """Index of the first element where the cumulative sum of `alphas`
+    crosses u_frac × total — inverse-CDF categorical sampling as a pure
+    Catalyst fold (no UDF)."""
+    total = F.aggregate(alphas, F.lit(0.0), lambda acc, x: acc + x)
+    target = u_frac * total
+    # fold carrying (cum, idx, found): idx freezes at the crossing point
+    init = F.struct(F.lit(0.0).alias("cum"), F.lit(0).alias("idx"),
+                    F.lit(False).alias("found"))
+    step = lambda acc, x: F.struct(
+        (acc["cum"] + x).alias("cum"),
+        F.when(acc["found"] | ((acc["cum"] + x) >= target), acc["idx"])
+        .otherwise(acc["idx"] + 1).alias("idx"),
+        (acc["found"] | ((acc["cum"] + x) >= target)).alias("found"),
+    )
+    folded = F.aggregate(alphas, init, step)
+    # numeric edge (u_frac ~1.0 and float rounding): clamp to last index
+    return F.least(folded["idx"], F.size(alphas) - 1)
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 10,
+    walk_length: int = 80,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """→ (node, walk_id, walk array<string>) — one row per started walk.
+
+    Walks stop early at sink nodes (no out-neighbors), like the
+    reference's `break` (embeddings.rs:203-205).
+    """
+    adj = _adjacency(edges).persist()
+
+    walkers = adj.select(
+        F.col("node").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
+        .alias("walk_id"),
+    ).select(
+        "start", "walk_id",
+        F.lit(None).cast("string").alias("prev"),
+        F.col("start").cast("string").alias("cur"),
+        F.array(F.col("start").cast("string")).alias("path"),
+        F.lit(False).alias("done"),
+    )
+
+    inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+    for step in range(1, walk_length):
+        live = walkers.filter(~F.col("done"))
+        parked = walkers.filter(F.col("done"))
+        joined = live.join(adj.withColumnRenamed("node", "cur"),
+                           "cur", "left")
+        first_step = F.lit(step == 1)
+        alphas = F.when(
+            first_step | F.col("prev").isNull(),
+            F.transform(F.col("nbrs"), lambda s: F.lit(1.0)),
+        ).otherwise(
+            F.transform(
+                F.col("nbrs"),
+                lambda s: s["w"] * F.when(s["dst"] == F.col("prev"),
+                                          F.lit(inv_p))
+                .otherwise(F.lit(inv_q))))
+        u = (F.pmod(F.xxhash64("start", "walk_id", F.lit(step), "cur",
+                               F.lit(seed)), F.lit(_M))
+             .cast("double") / F.lit(float(_M)))
+        nxt = F.when(F.col("nbrs").isNull() | (F.size("nbrs") == 0),
+                     F.lit(None).cast("string")) \
+            .otherwise(F.col("nbrs")[_pick_expr(alphas, u)]["dst"])
+        stepped = joined.select(
+            "start", "walk_id",
+            F.col("cur").alias("prev_out"),
+            nxt.alias("cur_out"),
+            F.when(nxt.isNull(), F.col("path"))
+            .otherwise(F.concat("path", F.array(nxt))).alias("path"),
+            nxt.isNull().alias("done"),
+        ).select(
+            "start", "walk_id",
+            F.when(F.col("done"), F.lit(None).cast("string"))
+            .otherwise(F.col("prev_out")).alias("prev"),
+            F.col("cur_out").alias("cur"), "path", "done",
+        )
+        walkers = stepped.unionByName(parked)
+        if step % checkpoint_every == 0 and step < walk_length - 1:
+            walkers = walkers.localCheckpoint(eager=True)
+
+    out = walkers.select(F.col("start").alias("node"), "walk_id",
+                         F.col("path").alias("walk"))
+    adj.unpersist()
+    return out
+
+
+def node2vec_embeddings(
+    edges: DataFrame,
+    dimension: int = 128,
+    walks_per_node: int = 10,
+    walk_length: int = 80,
+    p: float = 1.0,
+    q: float = 1.0,
+    window: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (node, embedding array<float>) — walks + distributed Word2Vec.
+
+    Mirrors Node2Vec::fit (embeddings.rs:148-157): generate walks, train
+    skip-gram; `window` = the reference's context_size.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    walks = random_walks(edges, walks_per_node, walk_length, p, q, seed)
+    w2v = Word2Vec(vectorSize=dimension, windowSize=window, minCount=0,
+                   seed=seed, inputCol="walk", outputCol="_vec")
+    model = w2v.fit(walks.select("walk"))
+    vectors = model.getVectors()   # (word, vector) — one row per node
+    from pyspark.ml.functions import vector_to_array
+    return vectors.select(
+        F.col("word").alias("node"),
+        vector_to_array(F.col("vector"), "float32").alias("embedding"))
+
+
+def sage_mean_embeddings(
+    features: DataFrame,
+    edges: DataFrame,
+    num_layers: int = 2,
+) -> DataFrame:
+    """GraphSAGE-mean layers over caller features (embeddings.rs:358-498).
+
+    `features`: (node, features array<double>); `edges`: (src, dst),
+    direction = "dst is a neighbor of src" (reference adjacency is
+    directed the same way).  Each layer: new = (self + mean(nbr)) / 2,
+    with a zero vector when a node has no out-neighbors.
+    """
+    dim_row = features.select(F.size("features").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+
+    feats = features.select("node", F.col("features").cast("array<double>")
+                            .alias("features"))
+    e = edges.select("src", "dst")
+    for _ in range(num_layers):
+        nbr_vals = (
+            e.join(feats.withColumnRenamed("node", "dst"), "dst")
+            .select("src", F.posexplode("features").alias("pos", "v"))
+            # co-partition before the agg (partial-agg memory discipline)
+            .repartition("src")
+            .groupBy("src", "pos")
+            .agg(F.avg("v").alias("m"))
+        )
+        nbr_mean = (
+            nbr_vals
+            .groupBy("src")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("nbr_mean"))
+            .withColumnRenamed("src", "node")
+        )
+        feats = (
+            feats.join(nbr_mean, "node", "left")
+            .select(
+                "node",
+                F.zip_with(
+                    "features",
+                    F.coalesce("nbr_mean", zeros),
+                    lambda a, b: (a + b) / F.lit(2.0)).alias("features"))
+        ).localCheckpoint(eager=False)
+    return feats
