@@ -182,6 +182,7 @@ def sage_mean_embeddings(
     features: DataFrame,
     edges: DataFrame,
     num_layers: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """GraphSAGE-mean layers over caller features (embeddings.rs:358-498).
 
@@ -222,5 +223,9 @@ def sage_mean_embeddings(
                     "features",
                     F.coalesce("nbr_mean", zeros),
                     lambda a, b: (a + b) / F.lit(2.0)).alias("features"))
-        ).localCheckpoint(eager=False)
+        )
+        if checkpoint:
+            # cut lineage between layers (CC-loop discipline); skipped by
+            # the plan audit, which wants the visible layer plan
+            feats = feats.localCheckpoint(eager=False)
     return feats

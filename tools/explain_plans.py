@@ -146,6 +146,47 @@ def main() -> int:
         "the canonical distinct is preceded by repartition(subj,obj) so "
         "map-side partial agg never holds the whole stream.", trim(p)))
 
+    # 7. GraphSAGE layer: pure JVM (posexplode + two-phase agg), no Python
+    # (checkpoint=False so the layer plan is visible, not an RDD scan)
+    from pyspark.sql import functions as F
+    from graphrag_rs_spark.algos.embeddings import sage_mean_embeddings
+    emb_df = e2._emb(spark, sf_dir)
+    sage_df = sage_mean_embeddings(
+        emb_df.select(F.col("vec_id").alias("node"),
+                      F.col("embedding").cast("array<double>")
+                      .alias("features")),
+        emb_df.select(F.col("vec_id").alias("src"),
+                      (F.col("vec_id") % 97).alias("dst"))
+        .filter(F.col("src") != F.col("dst")),
+        num_layers=2, checkpoint=False)
+    p = plan_of(sage_df)
+    check("sage: no Python in plan", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "SAGE layers must stay JVM-side")
+    check("sage: hash aggregation for the neighbor mean",
+          "HashAggregate" in p, "neighbor mean should hash-aggregate")
+    SECTIONS.append((
+        "sage_embeddings — GraphSAGE-mean layers",
+        "Each layer is posexplode → repartition(node) → two-phase "
+        "HashAggregate → array reassembly; zip_with combines self and "
+        "neighbor means in codegen. No Python anywhere.", trim(p)))
+
+    # 8. PageRank iteration: dangling mass rides as a broadcast 1-row
+    # aggregate (BroadcastNestedLoopJoin), not a per-iteration collect
+    from graphrag_rs_spark.algos.pagerank import pagerank
+    edges_pr = e2._cust_supp_edges(spark, sf_dir)
+    p = plan_of(pagerank(edges_pr, iterations=1))
+    check("pagerank: dangling scalar broadcast into the iteration job",
+          "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+          "expected broadcast cross-join of the 1-row dangling aggregate")
+    check("pagerank: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    SECTIONS.append((
+        "pagerank — one power iteration",
+        "The dangling-mass sum and the node-count normalizer are 1-row "
+        "broadcast aggregates cross-joined into the rank update — the "
+        "whole step is ONE job with no driver-side collect; lineage is "
+        "cut by an eager localCheckpoint per step.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
