@@ -443,6 +443,24 @@ def q_node2vec(spark, sf_dir):
     return out.select("node", F.size("embedding").alias("dim"))
 
 
+def q_rograg_fuzzy(spark, sf_dir):
+    """Q13 ROGRAG fuzzy matching (reference rograg/fuzzy_matcher.rs),
+    distributed: one literal query scanned against an entities table
+    derived from documents — exact/partial/type match rows, blended
+    jaccard/containment/levenshtein scoring, deterministic top-k."""
+    from graphrag_rs_spark.rograg.fuzzy_matcher import match_query
+    d = _docs(spark, sf_dir)
+    entities = d.select(
+        F.concat(F.lit("E"), F.col("doc_id").cast("string"))
+        .alias("entity_id"),
+        F.col("source").alias("name"),
+        F.col("lang").alias("entity_type"))
+    out = match_query("src3 summary en", entities, max_matches=25)
+    return out.select("id", "content",
+                      F.round("similarity", 6).alias("similarity"),
+                      "match_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -481,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
+        "rograg_fuzzy": q_rograg_fuzzy,
     }
 
 
@@ -1184,5 +1203,57 @@ def oracle_sql() -> dict[str, str]:
                from l1 left join n2
                  on n2.node = l1.node and n2.pos = l1.pos)
         select node, pos, round(v, 6) as v from l2
+    """
+
+    sql["rograg_fuzzy"] = """
+        with q as (select 'src3 summary en' as qt),
+        ents as (select 'E' || cast(doc_id as varchar) as entity_id,
+                        source as name, lang as entity_type
+                 from documents),
+        base as (select e.*, lower(e.name) as lname,
+                        lower(e.entity_type) as ltype, lower(q.qt) as lq
+                 from ents e, q),
+        m as (select *,
+                 list_distinct(list_filter(string_split(lq, ' '),
+                                           x -> x <> '')) as w1,
+                 list_distinct(list_filter(string_split(lname, ' '),
+                                           x -> x <> '')) as w2,
+                 list_filter(string_split(lq, ' '), x -> x <> '') as wl1,
+                 list_filter(string_split(ltype, ' '), x -> x <> '') as wlt
+              from base),
+        s as (select *,
+                 len(list_intersect(w1, w2))::DOUBLE as inter,
+                 len(list_distinct(list_concat(w1, w2)))::DOUBLE as uni,
+                 least(len(w1), len(w2))::DOUBLE as smaller,
+                 greatest(length(lq), length(lname))::DOUBLE as maxlen
+              from m),
+        sim as (select entity_id, name, entity_type, lname, lq,
+                 (case when uni = 0 then 0.0 else inter/uni end) * 0.4
+                 + (case when len(w1) = 0 and len(w2) = 0 then 1.0
+                         when smaller = 0 then 0.0
+                         else inter/smaller end) * 0.4
+                 + (case when maxlen = 0 then 1.0
+                         else 1.0 - levenshtein(lq, lname)::DOUBLE/maxlen
+                    end) * 0.2 as name_sim,
+                 (case when least(len(wl1), len(wlt)) = 0 then 0.0
+                       else len(list_intersect(list_distinct(wl1),
+                                               list_distinct(wlt)))::DOUBLE
+                            / least(len(wl1), len(wlt)) end) as type_sim
+                from s),
+        cand as (
+          select entity_id as id,
+                 name || ' (' || entity_type || ')' as content,
+                 1.0 as similarity, 'ExactEntity' as match_type
+          from sim where lname = lq
+          union all
+          select entity_id, name || ' (' || entity_type || ')',
+                 name_sim * 0.9, 'PartialEntity'
+          from sim where lname <> lq and name_sim >= 0.6
+          union all
+          select 'type_' || entity_id, name || ' (' || entity_type || ')',
+                 type_sim * 0.7, 'SemanticEntity'
+          from sim where type_sim > 0.0)
+        select id, content, round(similarity, 6) as similarity, match_type
+        from cand order by similarity desc, id asc limit 25
     """
     return sql
