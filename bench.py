@@ -90,7 +90,9 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "language_id", "fingerprints", "tfidf_topk", "bm25",
                  "embedding_knn", "ann_ivf", "embedding_centroids",
                  "graph_degree",
-                 "pagerank", "events_hourly", "sessions"):
+                 "pagerank", "events_hourly", "sessions",
+                 "conflict_merge", "sage_embeddings", "rograg_fuzzy",
+                 "node2vec"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     run("ann_lsh_buckets", lambda: _noop(lsh_buckets(
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))))
