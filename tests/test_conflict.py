@@ -135,3 +135,52 @@ def test_relationship_keep_strategies(spark):
         existing, incoming, "merge").collect()[0]
     assert merged["pred"] == "KNOWS"
     assert merged["context_keys"] == [1, 2]
+
+
+# ---------------------------------------------------- property testing
+
+from hypothesis import given, settings, strategies as st
+
+_ENT = st.tuples(
+    st.sampled_from(["e1", "e2", "e3", "e4"]),
+    st.sampled_from(["Ann", "Bob", "Cal"]),
+    st.sampled_from(["PERSON", "ORG"]),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+    st.integers(min_value=0, max_value=9),
+)
+
+
+def _dedup_by_id(rows):
+    seen, out = set(), []
+    for r in rows:
+        if r[0] not in seen:
+            seen.add(r[0])
+            out.append(r)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_ENT, min_size=1, max_size=4),
+       st.lists(_ENT, min_size=1, max_size=4))
+def test_merge_upsert_properties(spark, a_rows, b_rows):
+    """Merge keeps the key set = union of key sets, confidence never
+    decreases, and mention counts add on conflicts (associativity of the
+    underlying max/sum is what makes increments order-free)."""
+    schema = ("entity_id string, name string, entity_type string, "
+              "confidence double, mention_count long")
+    a_rows, b_rows = _dedup_by_id(a_rows), _dedup_by_id(b_rows)
+    existing = spark.createDataFrame(a_rows, schema)
+    incoming = spark.createDataFrame(b_rows, schema)
+    out = {r["entity_id"]: r.asDict()
+           for r in conflict.resolve_entity_conflicts(
+               existing, incoming, "merge").collect()}
+    ea = {r[0]: r for r in a_rows}
+    eb = {r[0]: r for r in b_rows}
+    assert set(out) == set(ea) | set(eb)
+    for k, row in out.items():
+        conf_a = ea[k][3] if k in ea else None
+        conf_b = eb[k][3] if k in eb else None
+        assert row["confidence"] == pytest.approx(
+            max(v for v in (conf_a, conf_b) if v is not None))
+        if k in ea and k in eb:
+            assert row["mention_count"] == ea[k][4] + eb[k][4]

@@ -101,3 +101,14 @@ def test_node2vec_output_shape(diamond_edges):
     assert {r["node"] for r in rows} == {"a", "b", "c", "d"}
     assert all(len(r["embedding"]) == 8 for r in rows)
     assert all(isinstance(v, float) for r in rows for v in r["embedding"])
+
+
+def test_walks_invariant_to_partitioning(spark, diamond_edges):
+    """The hash draw depends only on (start, walk_id, step, cur, seed) —
+    walks must be identical under any physical partitioning (the property
+    that makes the operator safe on a real cluster)."""
+    w1 = sorted(map(str, random_walks(
+        diamond_edges.repartition(1), 2, 5, seed=9).collect()))
+    w2 = sorted(map(str, random_walks(
+        diamond_edges.repartition(7, "src"), 2, 5, seed=9).collect()))
+    assert w1 == w2
