@@ -4,6 +4,10 @@
         job.py --input data/transcripts_small.parquet \
                --workdir /tmp/graphrag_out --run-id run1 [--no-resume]
 
+    # Iceberg / catalog-table input (north-rule deployment; needs the
+    # Iceberg runtime jar + catalog confs on the submit line, DEPLOY.md):
+    spark-submit ... job.py --table lake.raw.transcripts --workdir ...
+
 Runs transcripts → chunks → entities → triples → canonicalize →
 materialize with per-stage parquet outputs + per-partition lineage in
 {workdir}/_checkpoints (see stages/checkpoint.py).  A killed run rerun
@@ -19,7 +23,10 @@ import time
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--input", required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of transcripts")
+    src.add_argument("--table", help="catalog table (e.g. Iceberg) "
+                                     "of transcripts")
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--run-id", default="run0")
     parser.add_argument("--no-resume", action="store_true")
@@ -32,7 +39,8 @@ def main() -> None:
 
     spark = get_spark("graphrag_rs_spark.job", master=args.master)
     t0 = time.time()
-    transcripts = spark.read.parquet(args.input)
+    transcripts = (spark.read.table(args.table) if args.table
+                   else spark.read.parquet(args.input))
     n_turns = transcripts.count()
     res = run_pipeline_checkpointed(
         spark, transcripts,
