@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     par = int(sys.argv[1])
     n_convs = int(sys.argv[2])
+    # By default shuffle partitions track core count (how a real cluster
+    # is sized).  SPARK_GRAFT_LEG_PARTITIONS fixes them across legs to
+    # isolate pure thread scaling from partition-size effects (a
+    # 4-partition shuffle at 2M+ turns holds 4x the rows per task).
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_LEG_PARTITIONS", par))
 
     from graphrag_rs_spark.session import get_spark
     from graphrag_rs_spark.config import PipelineConfig
@@ -27,18 +32,18 @@ def main() -> None:
     from graphrag_rs_spark.stages.pipeline import run_pipeline
 
     path = ensure_transcripts(n_convs, max_turns=120, seed=42)
-    cfg = PipelineConfig(shuffle_partitions=par)
+    cfg = PipelineConfig(shuffle_partitions=shuffle_parts)
     spark = get_spark("scaling-leg", master=f"local[{par}]", cfg=cfg)
     spark.sparkContext.setLogLevel("ERROR")
 
-    transcripts = spark.read.parquet(path).repartition(par).cache()
+    transcripts = spark.read.parquet(path).repartition(shuffle_parts).cache()
     n_turns = transcripts.count()
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
     t0 = time.time()
-    res = run_pipeline(spark, transcripts, cfg, num_partitions=par)
+    res = run_pipeline(spark, transcripts, cfg, num_partitions=shuffle_parts)
     # independent DAG leaves — materialize concurrently (same as bench.py)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=3) as ex:
