@@ -107,10 +107,14 @@ def random_walks(
 
     inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
     for step in range(1, walk_length):
-        live = walkers.filter(~F.col("done"))
-        parked = walkers.filter(F.col("done"))
-        joined = live.join(adj.withColumnRenamed("node", "cur"),
-                           "cur", "left")
+        # Single reference to `walkers` per step: done rows carry a null
+        # `cur`, and null join keys never match, so one left join moves
+        # live walkers and passes parked ones through unchanged.  (The
+        # previous live/parked filter + union referenced the frame twice
+        # per step — plan and recompute grew ~2^checkpoint_every between
+        # checkpoints.)
+        joined = walkers.join(adj.withColumnRenamed("node", "cur"),
+                              "cur", "left")
         first_step = F.lit(step == 1)
         alphas = F.when(
             first_step | F.col("prev").isNull(),
@@ -124,23 +128,30 @@ def random_walks(
         u = (F.pmod(F.xxhash64("start", "walk_id", F.lit(step), "cur",
                                F.lit(seed)), F.lit(_M))
              .cast("double") / F.lit(float(_M)))
-        nxt = F.when(F.col("nbrs").isNull() | (F.size("nbrs") == 0),
+        nxt = F.when(F.col("done") | F.col("nbrs").isNull()
+                     | (F.size("nbrs") == 0),
                      F.lit(None).cast("string")) \
             .otherwise(F.col("nbrs")[_pick_expr(alphas, u)]["dst"])
-        stepped = joined.select(
+        # `nxt` must be evaluated EXACTLY ONCE per row: higher-order
+        # functions (the _pick_expr fold) evaluate via interpreted
+        # LambdaVariables, and duplicating the expression across several
+        # projection columns in a deep chained plan produced
+        # INCONSISTENT values per row (path's last hop ≠ cur — measured).
+        # Materializing it as its own alias referenced ≥2 times downstream
+        # blocks CollapseProject from re-inlining it (non-cheap multi-use
+        # aliases are never collapsed), so every derived column sees the
+        # same draw.
+        stepped = joined.select("start", "walk_id", "cur", "path", "done",
+                                nxt.alias("nxt"))
+        walkers = stepped.select(
             "start", "walk_id",
-            F.col("cur").alias("prev_out"),
-            nxt.alias("cur_out"),
-            F.when(nxt.isNull(), F.col("path"))
-            .otherwise(F.concat("path", F.array(nxt))).alias("path"),
-            nxt.isNull().alias("done"),
-        ).select(
-            "start", "walk_id",
-            F.when(F.col("done"), F.lit(None).cast("string"))
-            .otherwise(F.col("prev_out")).alias("prev"),
-            F.col("cur_out").alias("cur"), "path", "done",
+            F.when(F.col("nxt").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.col("cur")).alias("prev"),
+            F.col("nxt").alias("cur"),
+            F.when(F.col("nxt").isNull(), F.col("path"))
+            .otherwise(F.concat("path", F.array("nxt"))).alias("path"),
+            F.col("nxt").isNull().alias("done"),
         )
-        walkers = stepped.unionByName(parked)
         if step % checkpoint_every == 0 and step < walk_length - 1:
             walkers = walkers.localCheckpoint(eager=True)
 

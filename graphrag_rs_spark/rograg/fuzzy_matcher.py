@@ -31,6 +31,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 SIM_THRESHOLD = 0.6     # fuzzy_matcher.rs:102-107 defaults
 MAX_MATCHES = 10
+# Repo invariant: every float output is rounded BEFORE ranking/limit so
+# the top-k boundary is stable across engines (candidates equal at 6dp
+# but differing at machine precision must not flip membership).
+ROUND_DP = 6
 
 
 def _words(col: Column) -> Column:
@@ -88,12 +92,12 @@ def match_entities(
         & (name_sim >= F.lit(float(threshold)))
     ).select(
         F.col("entity_id").alias("id"), content.alias("content"),
-        (name_sim * 0.9).alias("similarity"),
+        F.round(name_sim * 0.9, ROUND_DP).alias("similarity"),
         F.lit("PartialEntity").alias("match_type"))
     typed = entities.filter(type_sim > 0.0).select(
         F.concat(F.lit("type_"), "entity_id").alias("id"),
         content.alias("content"),
-        (type_sim * 0.7).alias("similarity"),
+        F.round(type_sim * 0.7, ROUND_DP).alias("similarity"),
         F.lit("SemanticEntity").alias("match_type"))
     return exact.unionByName(partial).unionByName(typed)
 
@@ -111,13 +115,13 @@ def match_chunks(
     preview = F.substring("content", 1, preview_len)
     by_content = chunks.filter(content_sim >= F.lit(float(threshold))).select(
         F.col("chunk_id").alias("id"), preview.alias("content"),
-        content_sim.alias("similarity"),
+        F.round(content_sim, ROUND_DP).alias("similarity"),
         F.lit("ChunkContent").alias("match_type"))
     by_keywords = chunks.filter(
         overlap >= F.lit(float(threshold) * 0.8)).select(
         F.concat(F.lit("keywords_"), "chunk_id").alias("id"),
         preview.alias("content"),
-        overlap.alias("similarity"),
+        F.round(overlap, ROUND_DP).alias("similarity"),
         F.lit("ChunkContent").alias("match_type"))
     return by_content.unionByName(by_keywords)
 

@@ -37,6 +37,19 @@ def _adaptive_heap_gb(requested_gb: int) -> int:
     return max(8, min(requested_gb, int(avail_gb * 0.55)))
 
 
+def _driver_memory(env_value: str | None, default_gb: int = 40) -> str:
+    """Resolve spark.driver.memory from SPARK_GRAFT_DRIVER_MEM.
+
+    Unset → adaptive default (clamped to host headroom).  Any explicit
+    Spark size string ('48g', '4096m', '512000k') → passed through
+    verbatim — never crash on, or silently clamp, an explicit operator
+    choice; whoever sets the env var owns the headroom call.
+    """
+    if env_value is None:
+        return "%dg" % _adaptive_heap_gb(default_gb)
+    return env_value.strip()
+
+
 def get_spark(
     app_name: str = "graphrag_rs_spark",
     master: str | None = None,
@@ -49,11 +62,12 @@ def get_spark(
     confs = {
         **cfg.spark_confs(),
         # local-mode JVM hosts all executor threads — size the heap for
-        # them (ignored when a cluster submitter sets its own memory),
-        # clamped to what the host can actually deliver right now
-        "spark.driver.memory": "%dg" % _adaptive_heap_gb(
-            int(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "40g")
-                .rstrip("g").rstrip("G"))),
+        # them (ignored when a cluster submitter sets its own memory).
+        # The adaptive clamp applies to the DEFAULT only; an explicitly
+        # user-set size string ('4096m', '48g', '512000k') passes through
+        # unmodified so operators keep full control.
+        "spark.driver.memory": _driver_memory(
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM")),
         # Arrow's JNI critical sections trigger GCLocker allocation storms
         # with many executor threads (retry instead of stalling the world);
         # ParallelGC beats G1 for this batch/throughput profile — the

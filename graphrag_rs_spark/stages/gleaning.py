@@ -435,12 +435,14 @@ class FakeGleaningLM:
             missing = [n for n, _ in ents if n.lower() not in found]
             return "YES" if not missing else "NO"
         unrevealed = [(n, t) for n, t in ents if n.lower() not in found]
-        if found:                                   # continuation round
-            waves = sorted({self._wave(n) for n, _ in unrevealed})
-            emit = [] if not waves else [
-                (n, t) for n, t in unrevealed if self._wave(n) == waves[0]]
-        else:                                       # round 1 = wave 0
-            emit = [(n, t) for n, t in ents if self._wave(n) == 0]
+        # Emit the minimum AVAILABLE wave among the unrevealed entities —
+        # in every round, not just continuations.  A literal "round 1 =
+        # wave 0" would make a chunk whose entities all hash to wave ≥ 1
+        # emit nothing forever (empty found-list keeps re-taking the
+        # round-1 branch), silently dropping its entities from the union.
+        waves = sorted({self._wave(n) for n, _ in unrevealed})
+        emit = [] if not waves else [
+            (n, t) for n, t in unrevealed if self._wave(n) == waves[0]]
         payload = {
             "entities": [
                 {"name": n, "entity_type": t,

@@ -117,6 +117,24 @@ def resolve_entity_conflicts(
                     merge_cols, custom)
 
 
+def _fold_edges(df: DataFrame) -> DataFrame:
+    """Collapse (subj, pred, obj)-grained rows to one row per (subj, obj).
+
+    max(struct(confidence, pred)) picks the highest-confidence predicate
+    (lexicographically-last pred on exact confidence ties — deterministic);
+    context keys union.  One shuffle on the edge key, which the conflict
+    join immediately reuses.
+    """
+    return df.groupBy("subj", "obj").agg(
+        F.max(F.struct("confidence", "pred")).alias("_best"),
+        F.array_sort(F.array_distinct(F.flatten(
+            F.collect_list("context_keys")))).alias("context_keys"),
+    ).select(
+        "subj", F.col("_best.pred").alias("pred"), "obj",
+        F.col("_best.confidence").alias("confidence"),
+        F.size("context_keys").alias("n_context"), "context_keys")
+
+
 def resolve_relationship_conflicts(
     existing: DataFrame,
     incoming: DataFrame,
@@ -131,7 +149,18 @@ def resolve_relationship_conflicts(
     (source, target; conflict.rs:203-227): a conflicting increment may
     re-type the edge.  merge = strictly-higher new confidence takes
     (pred, confidence); context sets union (sorted, deduped).
+
+    The input fold is keyed (subj, pred, obj) and may legitimately carry
+    several preds per edge; joining multi-row sides on (subj, obj) would
+    fan out and emit duplicate edge rows, breaking the order-independent
+    compaction invariant.  Both sides are therefore pre-folded to one row
+    per edge first (highest confidence takes pred — pred desc breaks
+    exact ties deterministically; contexts union), which is the same
+    associative merge the strategy itself applies, so fold-then-resolve
+    equals resolve-pairwise in any order.
     """
+    existing = _fold_edges(existing)
+    incoming = _fold_edges(incoming)
     new_wins = F.col("new_confidence") > F.col("confidence")
 
     def merge_cols(both: DataFrame) -> DataFrame:

@@ -184,3 +184,27 @@ def test_merge_upsert_properties(spark, a_rows, b_rows):
             max(v for v in (conf_a, conf_b) if v is not None))
         if k in ea and k in eb:
             assert row["mention_count"] == ea[k][4] + eb[k][4]
+
+
+def test_relationship_multi_pred_sides_compact_to_one_row_per_edge(spark):
+    """Regression: the (subj, pred, obj)-grained fold can carry several
+    preds per edge; resolving on (subj, obj) must pre-fold each side, not
+    fan out duplicate edge rows through the conflict join."""
+    existing = spark.createDataFrame(
+        [("a", "KNOWS", "b", 0.5, 1, [1]),
+         ("a", "LEADS", "b", 0.7, 1, [2])],          # two preds, same edge
+        "subj string, pred string, obj string, confidence double, "
+        "n_context int, context_keys array<long>")
+    incoming = spark.createDataFrame(
+        [("a", "WORKS_FOR", "b", 0.6, 1, [3]),
+         ("a", "MANAGES", "b", 0.6, 1, [4])],        # two preds, same edge
+        "subj string, pred string, obj string, confidence double, "
+        "n_context int, context_keys array<long>")
+    rows = conflict.resolve_relationship_conflicts(
+        existing, incoming, "merge").collect()
+    assert len(rows) == 1                            # one row per (subj, obj)
+    r = rows[0].asDict()
+    # existing side folds to LEADS@0.7; incoming folds to WORKS_FOR@0.6
+    # (pred desc breaks the 0.6 tie deterministically); 0.6 not > 0.7
+    assert r["pred"] == "LEADS" and r["confidence"] == 0.7
+    assert r["context_keys"] == [1, 2, 3, 4] and r["n_context"] == 4

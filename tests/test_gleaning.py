@@ -116,3 +116,21 @@ def test_gleaning_deterministic_across_partitioning(spark, chunks):
     k2 = {(r["chunk_id"], r["entity_id"], r["description"])
           for r in e2.collect()}
     assert k1 == k2
+
+
+def test_chunk_with_no_wave0_entities_still_extracts(spark):
+    """Regression: a chunk whose entities ALL hash to wave >= 1 must not
+    drop out of the loop with nothing emitted (the round-1 branch used to
+    emit literal wave 0 only, so the empty found-list looped forever)."""
+    text = ("Frank Castle met Henry Ford in London. Frank Castle and "
+            "Henry Ford argued about Madrid.")
+    fake = FakeGleaningLM()
+    ents = fake._all_entities(text)
+    assert ents, "fixture text must extract entities"
+    assert all(fake._wave(n) >= 1 for n, _ in ents), \
+        "fixture precondition: every entity hashes to wave >= 1"
+    chunks = spark.createDataFrame([("w1", text)],
+                                   "chunk_id string, content string")
+    out, _, _ = gleaning_extract(chunks, FakeGleaningLM, max_rounds=4)
+    got = {r["name"] for r in out.collect()}
+    assert {n for n, _ in ents} <= got

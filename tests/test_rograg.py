@@ -76,11 +76,12 @@ def test_exact_match_boosted(tiny_entities):
 def test_partial_match_scoring(tiny_entities):
     # "Alicia Jonson" vs "alice johnson": shares no exact word →
     # jaccard 0, containment 0; levenshtein("alice johnson",
-    # "alicia jonson") = 3 → lev_sim = 1 - 3/13; blended × 0.2 × 0.9
+    # "alicia jonson") = 3 → lev_sim = 1 - 3/13; blended × 0.2 × 0.9,
+    # rounded to 6dp BEFORE ranking (the repo-wide ranking invariant)
     rows = {r["id"]: r for r in
             match_query("alice johnson", tiny_entities,
                         threshold=0.1).collect()}
-    expected = (1 - 3 / 13) * 0.2 * 0.9
+    expected = round((1 - 3 / 13) * 0.2 * 0.9, 6)
     assert rows["PERSON_alicia"]["similarity"] == pytest.approx(expected)
     assert rows["PERSON_alicia"]["match_type"] == "PartialEntity"
 
