@@ -212,6 +212,88 @@ def q_dictionary_ner(spark, sf_dir):
     return dictionary_ner(_docs(spark, sf_dir), lex, max_words=3)
 
 
+# SQL-expressible KG path: the flagship pipeline's heuristic extractor is
+# Python (rows-only checks), but everything downstream of extraction is
+# relational — these two queries drive dictionary-NER entities through the
+# REAL triple emission (stages/triples.emit_triple_mentions + the
+# entity/mod.rs:851-889 predicate when-chain), the REAL CC closure +
+# canonical pick (stages/canonicalize.canonical_from_edges over
+# algos/cc.connected_components), and the REAL L5 rewrite
+# (canonicalize.rewrite_triple_mentions), so the DuckDB gate value-checks
+# the actual flagship code path end-to-end.
+_KG_SQL_LEXICON = [
+    ("customer", "PERSON"), ("customer row", "PERSON"),
+    ("spark", "ORGANIZATION"),
+    ("fast table", "ORGANIZATION"), ("fast table value", "ORGANIZATION"),
+    ("sort merge", "ORGANIZATION"), ("sort merge batch", "ORGANIZATION"),
+    ("window", "LOCATION"), ("window line", "LOCATION"),
+    ("big data", "CONCEPT"),
+]
+_KG_SQL_TAU = 0.6   # link threshold for the SQL-expressible similarity rule
+
+
+def _kg_sql_parts(spark, sf_dir):
+    """→ (triple_mentions, entities, canonical_map) for the kg_sql_*
+    contract queries, built from the REAL pipeline stage functions."""
+    from graphrag_rs_spark.operators.dictionary_ner import dictionary_ner
+    from graphrag_rs_spark.stages.triples import emit_triple_mentions
+    from graphrag_rs_spark.stages.canonicalize import canonical_from_edges
+
+    d = _docs(spark, sf_dir)
+    lex = spark.createDataFrame(_KG_SQL_LEXICON, ["phrase", "entity_type"])
+    ner = dictionary_ner(d, lex, max_words=3)
+    eid = F.concat("entity_type", F.lit(":"),
+                   F.regexp_replace("name", " ", "_"))
+    chunks = d.select(F.col("doc_id").cast("string").alias("chunk_id"),
+                      F.col("text").alias("content"))
+    chunk_entities = ner.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        eid.alias("entity_id"), "entity_type",
+        F.col("first_pos").cast("long").alias("first_offset"))
+    tm = emit_triple_mentions(chunk_entities, chunks)
+
+    entities = ner.groupBy(eid.alias("entity_id"), "name", "entity_type") \
+        .agg(F.sum("n_mentions").cast("double").alias("confidence"))
+    # SQL-expressible linker rule standing in for the pandas scorer:
+    # same type, shared first token (the blocking key), levenshtein
+    # similarity over full names ≥ τ — exact small-int division, so both
+    # engines agree bit-for-bit at the threshold
+    a, b = entities.alias("a"), entities.alias("b")
+    lev_sim = 1.0 - F.levenshtein(F.col("a.name"), F.col("b.name")) \
+        .cast("double") / F.greatest(F.length("a.name"),
+                                     F.length("b.name")).cast("double")
+    edges = a.join(b,
+                   (F.col("a.entity_type") == F.col("b.entity_type"))
+                   & (F.split(F.col("a.name"), " ")[0]
+                      == F.split(F.col("b.name"), " ")[0])
+                   & (F.col("a.entity_id") < F.col("b.entity_id"))) \
+        .filter(lev_sim >= F.lit(_KG_SQL_TAU)) \
+        .select(F.col("a.entity_id").alias("src"),
+                F.col("b.entity_id").alias("dst"))
+    cmap = canonical_from_edges(entities, edges)
+    return tm, entities, cmap
+
+
+def q_kg_sql_canonical_map(spark, sf_dir):
+    """L1/L2 closure + canonical pick on the REAL code path
+    (canonical_from_edges: connected_components + max-by-confidence pick),
+    SQL-expressible edge rule → one (entity_id, canonical_id) row per
+    entity, identity rows included."""
+    _, _, cmap = _kg_sql_parts(spark, sf_dir)
+    return cmap.select("entity_id", "canonical_id")
+
+
+def q_kg_sql_triples(spark, sf_dir):
+    """R1-R5 + L5 on the REAL code path: dictionary-NER entities →
+    emit_triple_mentions (co-occurrence self-join + predicate when-chain)
+    → canonical rewrite (broadcast alias map) → per-triple context count."""
+    from graphrag_rs_spark.stages.canonicalize import rewrite_triple_mentions
+    tm, _, cmap = _kg_sql_parts(spark, sf_dir)
+    rewritten = rewrite_triple_mentions(tm, cmap)
+    return rewritten.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("bigint").alias("n_context"))
+
+
 def q_tfidf_topk(spark, sf_dir):
     from graphrag_rs_spark.retrieval.tfidf import tfidf_topk
     return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=5)
@@ -480,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "enrich": q_enrich,
         "dictionary_ner": q_dictionary_ner,
+        "kg_sql_canonical_map": q_kg_sql_canonical_map,
+        "kg_sql_triples": q_kg_sql_triples,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "dual_retrieval": q_dual_retrieval,
@@ -850,6 +934,131 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT as n_mentions, min(pos)::BIGINT as first_pos
         from ng join lex using (gram)
         group by doc_id, ng.gram, entity_type
+    """
+
+    # ---- kg_sql_*: the SQL-expressible flagship path ------------------
+    # ner → entities → co-occurrence pairs + rule-table CASE → similarity
+    # edges → recursive-CTE connected components (component = min node) →
+    # canonical pick (max confidence, entity_id desc tie-break) → rewrite
+    # + distinct + context count.  Mirrors _kg_sql_parts/q_kg_sql_* above.
+    kg_lex_vals = ", ".join(f"('{p}', '{t}')" for p, t in _KG_SQL_LEXICON)
+    _kg_sql_base = f"""
+        with t as (select doc_id, {_TOKS} as ts from documents),
+        ng0 as (
+          select doc_id, unnest(flatten([
+            [ {{'pos': i - 1, 'gram': array_to_string(ts[i:i+n-1], ' ')}}
+              for i in generate_series(1, greatest(len(ts) - n + 1, 0)) ]
+            for n in generate_series(1, 3) ])) as g
+          from t),
+        ng as (select doc_id, g.pos as pos, g.gram as gram from ng0),
+        lex(gram, entity_type) as (values {kg_lex_vals}),
+        ner as (select doc_id, ng.gram as name, entity_type,
+                       count(*)::BIGINT as n_mentions,
+                       min(pos)::BIGINT as first_pos
+                from ng join lex using (gram)
+                group by doc_id, ng.gram, entity_type),
+        ce as (select cast(doc_id as varchar) as chunk_id,
+                      entity_type || ':' || replace(name, ' ', '_')
+                        as entity_id,
+                      entity_type, first_pos as first_offset, doc_id
+               from ner),
+        ents as (select entity_type || ':' || replace(name, ' ', '_')
+                          as entity_id,
+                        name, entity_type,
+                        sum(n_mentions)::DOUBLE as confidence
+                 from ner group by 1, 2, 3),
+        kw as (select cast(doc_id as varchar) as chunk_id,
+                      contains(text, 'works for') as kw_works_for,
+                      contains(text, 'employed by') as kw_employed_by,
+                      contains(text, 'founded') as kw_founded,
+                      contains(text, 'CEO') as kw_ceo,
+                      contains(text, 'born in') as kw_born_in,
+                      contains(text, 'from') as kw_from,
+                      contains(text, 'lives in') as kw_lives_in,
+                      contains(text, 'based in') as kw_based_in,
+                      contains(text, 'headquartered') as kw_headquartered,
+                      contains(text, 'married') as kw_married,
+                      contains(text, 'spouse') as kw_spouse,
+                      contains(text, 'colleague') as kw_colleague,
+                      contains(text, 'partner') as kw_partner
+               from documents),
+        pairs as (
+          select a.chunk_id, a.entity_id as subj, a.entity_type as t1,
+                 b.entity_id as obj, b.entity_type as t2
+          from ce a join ce b on a.chunk_id = b.chunk_id
+           and ((a.first_offset < b.first_offset)
+                or (a.first_offset = b.first_offset
+                    and a.entity_id < b.entity_id))),
+        tm as (
+          select p.chunk_id, p.subj,
+            case
+              when (t1 = 'PERSON' and t2 = 'ORGANIZATION')
+                or (t1 = 'ORGANIZATION' and t2 = 'PERSON') then
+                case when kw_works_for or kw_employed_by then 'WORKS_FOR'
+                     when kw_founded or kw_ceo then 'LEADS'
+                     else 'ASSOCIATED_WITH' end
+              when (t1 = 'PERSON' and t2 = 'LOCATION')
+                or (t1 = 'LOCATION' and t2 = 'PERSON') then
+                case when kw_born_in or kw_from then 'BORN_IN'
+                     when kw_lives_in or kw_based_in then 'LOCATED_IN'
+                     else 'ASSOCIATED_WITH' end
+              when (t1 = 'ORGANIZATION' and t2 = 'LOCATION')
+                or (t1 = 'LOCATION' and t2 = 'ORGANIZATION') then
+                case when kw_headquartered or kw_based_in
+                       then 'HEADQUARTERED_IN'
+                     else 'LOCATED_IN' end
+              when t1 = 'PERSON' and t2 = 'PERSON' then
+                case when kw_married or kw_spouse then 'MARRIED_TO'
+                     when kw_colleague or kw_partner then 'COLLEAGUE_OF'
+                     else 'KNOWS' end
+              else 'RELATED_TO' end as pred,
+            p.obj
+          from pairs p join kw using (chunk_id)),
+        sim_edges as (
+          select a.entity_id as ea, b.entity_id as eb
+          from ents a join ents b
+            on a.entity_type = b.entity_type
+           and string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
+           and a.entity_id < b.entity_id
+          where 1.0 - levenshtein(a.name, b.name)::DOUBLE
+                  / greatest(length(a.name), length(b.name))
+                >= {_KG_SQL_TAU}),
+        bi as (select ea, eb from sim_edges
+               union select eb as ea, ea as eb from sim_edges),
+        comps as (
+          with recursive r(node, reach) as (
+            select entity_id, entity_id from ents
+            union
+            select r.node, bi.eb from r join bi on bi.ea = r.reach)
+          select node, min(reach) as component from r group by node),
+        cmap as (
+          select c.node as entity_id, canon.canonical_id
+          from comps c join (
+            select component, node as canonical_id from (
+              select c2.component, c2.node,
+                     row_number() over (partition by c2.component
+                       order by e.confidence desc, c2.node desc) as rn
+              from comps c2 join ents e on e.entity_id = c2.node)
+            where rn = 1) canon using (component))
+    """
+    sql["kg_sql_canonical_map"] = _kg_sql_base + """
+        select entity_id, canonical_id from cmap
+    """
+    sql["kg_sql_triples"] = _kg_sql_base + """
+        , rewritten as (
+          select distinct tm.chunk_id,
+                 coalesce(cs.canonical_id, tm.subj) as subj,
+                 tm.pred,
+                 coalesce(co.canonical_id, tm.obj) as obj
+          from tm
+          left join (select entity_id, canonical_id from cmap
+                     where entity_id <> canonical_id) cs
+            on cs.entity_id = tm.subj
+          left join (select entity_id, canonical_id from cmap
+                     where entity_id <> canonical_id) co
+            on co.entity_id = tm.obj)
+        select subj, pred, obj, count(*)::BIGINT as n_context
+        from rewritten group by subj, pred, obj
     """
 
     bm25_toks = _BM25_TOKS.format(stop=_BM25_STOP)

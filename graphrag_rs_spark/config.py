@@ -44,6 +44,11 @@ class PipelineConfig:
     link_use_phonetic: bool = False
 
     # Spark-side scale knobs (no reference counterpart; cluster tuning)
+    # Max non-identity alias rows broadcast during the L5 rewrite; above
+    # this, top-K-by-mention-count broadcast + unhinted cold-tail join
+    # (AQE decides).  2M rows ≈ ~150 MB serialized — comfortably inside
+    # executor/driver headroom, far below where broadcast breaks down.
+    alias_broadcast_hot_k: int = 2_000_000
     shuffle_partitions: int = 32
     salt_buckets: int = 8          # salting fan-out for skewed conversations
     cc_max_iterations: int = 50    # safety bound for the CC join loop

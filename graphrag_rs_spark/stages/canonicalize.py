@@ -49,8 +49,10 @@ def _normalized_name_col() -> F.Column:
     return n
 
 
-def candidate_pairs(entities: DataFrame) -> DataFrame:
-    """Blocked candidate (entity_id1 < entity_id2) pairs with names/types."""
+def _blocked_keys(entities: DataFrame) -> DataFrame:
+    """(entity_id, name, entity_type, norm, block_key, _bn) — one row per
+    (entity, blocking key), `_bn` = the (entity_type, block_key) block
+    size via a window count (one shuffle, reused by the self-join)."""
     base = entities.select(
         "entity_id", "name", "entity_type", "confidence",
         _normalized_name_col().alias("norm"),
@@ -70,14 +72,32 @@ def candidate_pairs(entities: DataFrame) -> DataFrame:
         ).alias("block_key"),
     ).filter(F.length("block_key") > 0)
 
-    # cap pathological blocks (e.g. token "inc" across every org) — a
-    # window count over the block key, not groupBy+join-back: one shuffle
-    # instead of two, and the subsequent self-join reuses the same
-    # hash-partitioning on block_key
     from pyspark.sql import Window
     block_n = F.count(F.lit(1)).over(
         Window.partitionBy("entity_type", "block_key"))
-    keyed = keyed.withColumn("_bn", block_n) \
+    return keyed.withColumn("_bn", block_n)
+
+
+def dropped_block_stats(entities: DataFrame) -> DataFrame:
+    """→ one row per OVERSIZED blocking bucket (entity_type, block_key,
+    n_entities) that `candidate_pairs` excludes from merging — the
+    "counted, never silently" half of the block-size cap.  A hot token
+    (e.g. "inc" across every org) exempts all pairs sharing ONLY that key
+    from merging; pipelines surface these counts in the checkpoint
+    lineage so the exemption is observable run-to-run."""
+    return (
+        _blocked_keys(entities)
+        .filter(F.col("_bn") > MAX_BLOCK_SIZE)
+        .groupBy("entity_type", "block_key")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+    )
+
+
+def candidate_pairs(entities: DataFrame) -> DataFrame:
+    """Blocked candidate (entity_id1 < entity_id2) pairs with names/types."""
+    # cap pathological blocks (e.g. token "inc" across every org); the
+    # dropped buckets are observable via `dropped_block_stats`
+    keyed = _blocked_keys(entities) \
         .filter(F.col("_bn") <= MAX_BLOCK_SIZE).drop("_bn")
 
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -145,6 +165,24 @@ def canonical_map(
     )
     if extra_edges is not None:
         edges = edges.union(extra_edges.select("src", "dst"))
+    return canonical_from_edges(entities, edges, cfg)
+
+
+def canonical_from_edges(
+    entities: DataFrame,
+    edges: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Steps 3-4 of canonicalization over caller-supplied merge evidence:
+    CC closure of `edges` (src, dst) + per-component canonical pick
+    (max confidence, entity_id as the deterministic tie-break,
+    string_similarity_linker.rs:106-117).  → (entity_id, canonical_id)
+    for EVERY entity, identity rows included.
+
+    Split out of `canonical_map` so alternative pair scorers (pure-SQL
+    similarity rules, L4 semantic evidence, precomputed link tables) can
+    reuse the exact closure + pick semantics.
+    """
     comps = connected_components(
         edges, nodes=entities.select(F.col("entity_id").alias("node")),
         max_iterations=cfg.cc_max_iterations,
@@ -161,32 +199,74 @@ def canonical_map(
     )
 
 
+def _apply_alias(df: DataFrame, alias_map: DataFrame, col: str) -> DataFrame:
+    """Left-join `alias_map` (entity_id, canonical_id) onto `df.col`,
+    re-pointing matched values in place."""
+    return (
+        df.join(alias_map.withColumnRenamed("entity_id", col)
+                .withColumnRenamed("canonical_id", f"_{col}_canon"),
+                col, "left")
+        .withColumn(col, F.coalesce(f"_{col}_canon", col))
+        .drop(f"_{col}_canon")
+    )
+
+
 def rewrite_triple_mentions(triple_mentions: DataFrame,
                             canonical: DataFrame,
-                            cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                            cfg: PipelineConfig = DEFAULT_CONFIG,
+                            mention_counts: DataFrame | None = None) -> DataFrame:
     """L5 on the FLAT form: re-point (chunk_id, subj, pred, obj) endpoints
-    through the broadcast alias map (the north rule's hot-alias-dictionary
-    broadcast), dedup rows that collapse onto the same canonical triple.
+    through the alias map, dedup rows that collapse onto the same
+    canonical triple.
+
+    The broadcast is CAPPED (the north rule's "hot alias dictionary"):
+    when the non-identity alias map fits in `cfg.alias_broadcast_hot_k`
+    rows (probed with a bounded limit-count, same pattern as algos/cc),
+    the whole map broadcasts — one hash lookup per endpoint, no shuffle
+    of the mention stream.  Above the cap, the top-K aliases by
+    `mention_counts` (entity_id, mention_count; identity fallback 0)
+    broadcast and the cold tail goes through an UNHINTED join — AQE picks
+    sort-merge or broadcast from the tail's runtime size, so a 10⁸-row
+    alias map can no longer OOM the driver.  Endpoints live in exactly
+    one of hot/cold, so hot-then-cold application equals one-map
+    application row-for-row.
 
     Identity rows may be omitted from `canonical`.  Stays codegen-only —
     no object aggregation here (see triples.triples_with_context).
     """
-    alias_map = F.broadcast(canonical.filter(
-        F.col("entity_id") != F.col("canonical_id")))
-    return (
-        triple_mentions
-        .join(alias_map.withColumnRenamed("entity_id", "subj")
-              .withColumnRenamed("canonical_id", "subj_canon"),
-              "subj", "left")
-        .join(alias_map.withColumnRenamed("entity_id", "obj")
-              .withColumnRenamed("canonical_id", "obj_canon"),
-              "obj", "left")
-        .select(
-            "chunk_id",
-            F.coalesce("subj_canon", "subj").alias("subj"),
-            "pred",
-            F.coalesce("obj_canon", "obj").alias("obj"),
+    aliases = canonical.filter(
+        F.col("entity_id") != F.col("canonical_id")) \
+        .select("entity_id", "canonical_id")
+    hot_k = int(cfg.alias_broadcast_hot_k)
+    n_probe = aliases.limit(hot_k + 1).count()
+    if n_probe <= hot_k:
+        hot, cold = F.broadcast(aliases), None
+    else:
+        if mention_counts is None:
+            mention_counts = (
+                triple_mentions
+                .select(F.explode(F.array("subj", "obj")).alias("entity_id"))
+                .groupBy("entity_id").agg(F.count("*").alias("mention_count"))
+            )
+        ranked = (
+            aliases.join(
+                mention_counts.select("entity_id", "mention_count"),
+                "entity_id", "left")
+            .select("entity_id", "canonical_id",
+                    F.coalesce("mention_count", F.lit(0)).alias("_mc"))
         )
+        hot_rows = ranked.orderBy(F.col("_mc").desc(), "entity_id") \
+            .limit(hot_k).select("entity_id", "canonical_id")
+        hot = F.broadcast(hot_rows)
+        cold = aliases.join(hot_rows.select("entity_id"),
+                            "entity_id", "left_anti")
+
+    out = _apply_alias(_apply_alias(triple_mentions, hot, "subj"),
+                       hot, "obj")
+    if cold is not None:
+        out = _apply_alias(_apply_alias(out, cold, "subj"), cold, "obj")
+    return (
+        out.select("chunk_id", "subj", "pred", "obj")
         # repartition on (a subset of) the dedup key BEFORE distinct:
         # without it every map task's partial aggregate accumulates a
         # hash map over the full row stream, and aggregate memory ∝

@@ -37,6 +37,10 @@ class PipelineResult:
     canonical_triples: DataFrame
     canonical_entities: DataFrame
     communities: DataFrame
+    # oversized blocking buckets excluded from canonicalization — lazy in
+    # run_pipeline (consume to count), materialized + lineage-counted as
+    # its own stage in run_pipeline_checkpointed
+    dropped_blocks: DataFrame | None = None
 
 
 def run_pipeline(
@@ -68,7 +72,8 @@ def run_pipeline(
     # (measured 92s cache build vs 39s checkpoint at 200k convs); the
     # checkpoint stores serialized partitions, truncates the plan, and
     # both consumers (context folding, communities) read it back in ~4s
-    canon_flat = canonicalize.rewrite_triple_mentions(flat, canon, cfg) \
+    canon_flat = canonicalize.rewrite_triple_mentions(
+        flat, canon, cfg, mention_counts=entities) \
         .localCheckpoint(eager=True)
     canon_entities = materialize.canonical_entities(entities, canon)
     comms = materialize.communities(canon_entities, canon_flat,
@@ -87,6 +92,7 @@ def run_pipeline(
         canonical_triples=triples_mod.triples_with_context(canon_flat, cfg),
         canonical_entities=canon_entities,
         communities=comms,
+        dropped_blocks=canonicalize.dropped_block_stats(entities),
     )
 
 
@@ -124,12 +130,18 @@ def run_pipeline_checkpointed(
     raw_triples = ck.run_stage(
         "triples", lambda: triples_mod.triples_with_context(flat, cfg),
         resume)
+    # "counted, never silently": oversized blocking buckets excluded from
+    # merging are materialized + lineage-counted beside the map itself
+    dropped = ck.run_stage(
+        "canonical_map_dropped_blocks",
+        lambda: canonicalize.dropped_block_stats(entities), resume)
     canon = ck.run_stage(
         "canonical_map", lambda: canonicalize.canonical_map(entities, cfg),
         resume)
     canon_flat = ck.run_stage(
         "canonical_triple_mentions",
-        lambda: canonicalize.rewrite_triple_mentions(flat, canon, cfg), resume)
+        lambda: canonicalize.rewrite_triple_mentions(
+            flat, canon, cfg, mention_counts=entities), resume)
     canon_triples = ck.run_stage(
         "canonical_triples",
         lambda: triples_mod.triples_with_context(canon_flat, cfg), resume)
@@ -149,4 +161,5 @@ def run_pipeline_checkpointed(
         canonical_map=canon, canonical_triple_mentions=canon_flat,
         canonical_triples=canon_triples,
         canonical_entities=canon_entities, communities=comms,
+        dropped_blocks=dropped,
     )
