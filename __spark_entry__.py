@@ -294,6 +294,38 @@ def q_kg_sql_triples(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_context"))
 
 
+_KG_PATH_SRC, _KG_PATH_DST, _KG_PATH_DEPTH = \
+    "PERSON:customer", "CONCEPT:big_data", 4
+_BFS_SEEDS = ["c1", "c2", "c3"]
+_BFS_SEED_VALS = ", ".join(f"('{s}')" for s in _BFS_SEEDS)
+_BFS_DEPTH = 3
+
+
+def q_kg_sql_paths(spark, sf_dir):
+    """G7 all simple paths ≤ k nodes (analytics.rs:355-414) over the
+    canonical kg_sql triple graph — frontier joins carrying path arrays,
+    replayed by a recursive-CTE path enumeration in the oracle."""
+    from graphrag_rs_spark.stages.canonicalize import rewrite_triple_mentions
+    from graphrag_rs_spark.algos.traversal import all_paths
+    tm, _, cmap = _kg_sql_parts(spark, sf_dir)
+    g = rewrite_triple_mentions(tm, cmap) \
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst")) \
+        .filter(F.col("src") != F.col("dst")).distinct()
+    out = all_paths(g, _KG_PATH_SRC, _KG_PATH_DST,
+                    max_depth=_KG_PATH_DEPTH, directed=True)
+    return out.select(F.concat_ws("->", "path").alias("path"), "n_nodes")
+
+
+def q_bfs_reach(spark, sf_dir):
+    """G6 multi-source BFS min-distances (traversal.rs:322-375) over the
+    customer↔supplier graph, depth ≤ 3."""
+    from graphrag_rs_spark.algos.traversal import multi_source_bfs
+    edges = _cust_supp_edges(spark, sf_dir)   # already bidirectional
+    seeds = spark.createDataFrame([(s,) for s in _BFS_SEEDS], "node string")
+    out = multi_source_bfs(edges, seeds, max_depth=_BFS_DEPTH, directed=True)
+    return out.select("node", F.col("level").cast("int").alias("level"))
+
+
 def q_tfidf_topk(spark, sf_dir):
     from graphrag_rs_spark.retrieval.tfidf import tfidf_topk
     return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=5)
@@ -564,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_ner": q_dictionary_ner,
         "kg_sql_canonical_map": q_kg_sql_canonical_map,
         "kg_sql_triples": q_kg_sql_triples,
+        "kg_sql_paths": q_kg_sql_paths,
+        "bfs_reach": q_bfs_reach,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "dual_retrieval": q_dual_retrieval,
@@ -1039,13 +1073,8 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by c2.component
                        order by e.confidence desc, c2.node desc) as rn
               from comps c2 join ents e on e.entity_id = c2.node)
-            where rn = 1) canon using (component))
-    """
-    sql["kg_sql_canonical_map"] = _kg_sql_base + """
-        select entity_id, canonical_id from cmap
-    """
-    sql["kg_sql_triples"] = _kg_sql_base + """
-        , rewritten as (
+            where rn = 1) canon using (component)),
+        rewritten as (
           select distinct tm.chunk_id,
                  coalesce(cs.canonical_id, tm.subj) as subj,
                  tm.pred,
@@ -1057,8 +1086,46 @@ def oracle_sql() -> dict[str, str]:
           left join (select entity_id, canonical_id from cmap
                      where entity_id <> canonical_id) co
             on co.entity_id = tm.obj)
+    """
+    sql["kg_sql_canonical_map"] = _kg_sql_base + """
+        select entity_id, canonical_id from cmap
+    """
+    sql["kg_sql_triples"] = _kg_sql_base + """
         select subj, pred, obj, count(*)::BIGINT as n_context
         from rewritten group by subj, pred, obj
+    """
+    sql["kg_sql_paths"] = _kg_sql_base + f"""
+        , g as (select distinct subj as src, obj as dst
+                from rewritten where subj <> obj),
+        hits as (
+          with recursive p(cur, path) as (
+            select '{_KG_PATH_SRC}', ['{_KG_PATH_SRC}']
+            union all
+            select g.dst, list_append(p.path, g.dst)
+            from p join g on g.src = p.cur
+            where p.cur <> '{_KG_PATH_DST}'
+              and not list_contains(p.path, g.dst)
+              and len(p.path) < {_KG_PATH_DEPTH})
+          select path from p where cur = '{_KG_PATH_DST}')
+        select array_to_string(path, '->') as path,
+               len(path)::INT as n_nodes
+        from hits
+    """
+    sql["bfs_reach"] = f"""
+        with e0 as (
+          select distinct 'c' || cast(o_custkey as varchar) as src,
+                          's' || cast(l_suppkey as varchar) as dst
+          from orders join lineitem on o_orderkey = l_orderkey),
+        e as (select src, dst from e0
+              union select dst as src, src as dst from e0),
+        rec as (
+          with recursive r(node, lvl) as (
+            select node, 0 from (values {_BFS_SEED_VALS}) s(node)
+            union
+            select e.dst, r.lvl + 1 from r join e on e.src = r.node
+            where r.lvl < {_BFS_DEPTH})
+          select node, min(lvl)::INT as level from r group by node)
+        select node, level from rec
     """
 
     bm25_toks = _BM25_TOKS.format(stop=_BM25_STOP)

@@ -80,6 +80,142 @@ def shortest_path_length(edges: DataFrame, source: str, target: str,
     return int(row[0]["level"]) if row else None
 
 
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """→ (node, level): min hop distance from ANY source
+    (traversal.rs:322-375 multi_source_bfs).  The reference seeds one FIFO
+    queue with every source and takes the first-discovery depth, which IS
+    the min distance — identical to `bfs_levels` seeded wide; this wrapper
+    exists so the reference API maps one-to-one."""
+    return bfs_levels(edges, sources, max_depth=max_depth, directed=directed)
+
+
+def bfs_from_each(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 2,
+    directed: bool = False,
+) -> DataFrame:
+    """→ (source, node, level): per-seed hop distances, all seeds in ONE
+    frontier loop (the frontier is keyed by (source, node), so k seeds
+    cost the same number of shuffles as one).  Backs
+    `query_focused_subgraph`'s per-seed ego semantics."""
+    e = (edges.select("src", "dst") if directed else _bidir(edges)) \
+        .persist()
+    visited = sources.select(F.col("node").alias("source")).distinct() \
+        .withColumn("node", F.col("source")) \
+        .withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("source", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("source", "node"), ["source", "node"],
+                  "left_anti")
+            .withColumn("level", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def query_focused_subgraph(
+    edges: DataFrame,
+    seeds: DataFrame,
+    expansion_hops: int = 2,
+    directed: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """G6 query-focused subgraph (traversal.rs:521-573): union of the
+    per-seed ego networks, distances = min over seeds.
+
+    → (nodes, sub_edges): nodes = (node, level); sub_edges = (src, dst)
+    edges whose endpoints are both within `expansion_hops` of the SAME
+    seed (the reference unions per-seed ego EDGE sets — an edge bridging
+    two different seeds' balls is excluded unless one ball covers both
+    endpoints, hence the per-seed reach, not the pooled one).
+    """
+    reach = bfs_from_each(edges, seeds, max_depth=expansion_hops,
+                          directed=directed).persist()
+    nodes = reach.groupBy("node").agg(F.min("level").alias("level"))
+    per_seed = reach.select("source", "node")
+    sub_edges = (
+        edges.select("src", "dst")
+        .join(per_seed.withColumnRenamed("node", "src"), "src")
+        .join(per_seed.withColumnRenamed("node", "dst"),
+              ["source", "dst"], "left_semi")
+        .select("src", "dst")
+        .distinct()
+    )
+    return nodes, sub_edges
+
+
+def all_paths(
+    edges: DataFrame,
+    source: str,
+    target: str,
+    max_depth: int = 5,
+    directed: bool = True,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """G7 all simple paths source→target with ≤ `max_depth` NODES
+    (analytics.rs:355-414 all_paths/dfs_paths semantics: the node-count
+    bound, cycle-free via the visited set, weight = sum of edge weights;
+    traversal.rs:388-484 find_all_paths is the same search with an
+    edge-depth bound).  → (path array<string>, n_nodes int, weight double).
+
+    Distributed as a frontier loop carrying path ARRAYS: each hop is one
+    join; cycle check = !array_contains(path, next).  Paths that reach
+    the target are harvested, not extended (the reference records and
+    returns at `current == end`).  Candidate growth is bounded by
+    branching^max_depth — callers keep max_depth small (the reference
+    default TraversalConfig.max_depth is 3-6), which is also why there is
+    no max_paths cap here: the DFS cap exists to bound a serial recursion,
+    not a data-parallel sweep, and which paths it kept was Rust-iteration-
+    order nondeterministic (documented divergence).
+    """
+    spark = edges.sparkSession
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    base = edges.select("src", "dst", w.alias("_w"))
+    e = base if directed else base.union(
+        base.select(F.col("dst").alias("src"),
+                    F.col("src").alias("dst"), "_w"))
+    e = e.persist()
+
+    frontier = spark.createDataFrame(
+        [(source, [source], 0.0)],
+        "cur string, path array<string>, weight double")
+    hits = []
+    for _ in range(max_depth - 1):
+        hits.append(frontier.filter(F.col("cur") == target))
+        live = frontier.filter(F.col("cur") != target)
+        nxt = (
+            live.join(e, live["cur"] == e["src"])
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(F.col("dst").alias("cur"),
+                    F.concat("path", F.array("dst")).alias("path"),
+                    (F.col("weight") + F.col("_w")).alias("weight"))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    hits.append(frontier.filter(F.col("cur") == target))
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionByName(h)
+    e.unpersist()
+    return out.select("path", F.size("path").alias("n_nodes"),
+                      F.round("weight", 6).alias("weight"))
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """(node, degree, in_degree, out_degree) — G8 centrality baseline."""
     out_d = edges.groupBy(F.col("src").alias("node")).agg(

@@ -157,3 +157,86 @@ def test_hierarchical_summary_tree(spark):
     docs = {r["doc_id"]: r for r in document_summaries(tree).collect()}
     assert docs["d1"]["n_leaves"] == 6
     assert docs["d2"]["summary"] == "Only chunk here."
+
+
+@pytest.fixture(scope="module")
+def ref_test_graph(spark):
+    """The reference's traversal test graph (traversal.rs:574-636):
+    A->B, B->C, A->D; traversal treats edges bidirectionally
+    (get_neighbors, traversal.rs:486-510)."""
+    return spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "D")], "src string, dst string")
+
+
+def test_multi_source_bfs_min_distances(spark, ref_test_graph):
+    """traversal.rs:677-691 test_multi_source_bfs + FIFO first-discovery
+    distances = min over seeds."""
+    seeds = spark.createDataFrame([("A",), ("C",)], "node string")
+    got = {r["node"]: r["level"] for r in traversal.multi_source_bfs(
+        ref_test_graph, seeds, max_depth=3).collect()}
+    assert got == {"A": 0, "C": 0, "B": 1, "D": 1}
+
+
+def test_find_all_paths_golden(ref_test_graph):
+    """traversal.rs:692-706 test_find_all_paths: A→C over the
+    bidirectional graph — exactly [A, B, C]."""
+    paths = {tuple(r["path"]): r["weight"] for r in traversal.all_paths(
+        ref_test_graph, "A", "C", max_depth=4, directed=False).collect()}
+    assert paths == {("A", "B", "C"): 2.0}
+
+
+def test_all_paths_enumerates_and_respects_bounds(spark):
+    # diamond + tail: A-B, B-C, A-C, C-D (undirected)
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")],
+        "src string, dst string")
+    got = {tuple(r["path"]) for r in traversal.all_paths(
+        edges, "A", "D", max_depth=4, directed=False).collect()}
+    assert got == {("A", "C", "D"), ("A", "B", "C", "D")}
+    # node-count bound (analytics.rs:381 path.len() >= max_depth)
+    short = {tuple(r["path"]) for r in traversal.all_paths(
+        edges, "A", "D", max_depth=3, directed=False).collect()}
+    assert short == {("A", "C", "D")}
+    # source == target → the trivial single-node path
+    self_path = traversal.all_paths(
+        edges, "A", "A", max_depth=3, directed=False).collect()
+    assert [tuple(r["path"]) for r in self_path] == [("A",)]
+
+
+def test_all_paths_weighted(spark):
+    edges = spark.createDataFrame(
+        [("A", "B", 0.5), ("B", "C", 0.25), ("A", "C", 1.5)],
+        "src string, dst string, conf double")
+    got = {tuple(r["path"]): r["weight"] for r in traversal.all_paths(
+        edges, "A", "C", max_depth=3, directed=True,
+        weight_col="conf").collect()}
+    assert got == {("A", "B", "C"): 0.75, ("A", "C"): 1.5}
+
+
+def test_query_focused_subgraph_golden(spark, ref_test_graph):
+    """traversal.rs:707-716 test_query_focused_subgraph: seeds=[A],
+    hops=2 → every node and every edge of the test graph, min
+    distances from A."""
+    seeds = spark.createDataFrame([("A",)], "node string")
+    nodes, sub_edges = traversal.query_focused_subgraph(
+        ref_test_graph, seeds, expansion_hops=2)
+    got = {r["node"]: r["level"] for r in nodes.collect()}
+    assert got == {"A": 0, "B": 1, "D": 1, "C": 2}
+    assert {(r["src"], r["dst"]) for r in sub_edges.collect()} == \
+        {("A", "B"), ("B", "C"), ("A", "D")}
+
+
+def test_query_focused_subgraph_per_seed_edges(spark):
+    """An edge bridging two different seeds' balls is EXCLUDED unless one
+    seed covers both endpoints (the reference unions per-seed ego edge
+    sets, traversal.rs:521-573)."""
+    # path graph: S1 - x - y - S2 with hops=1: edge (x, y) bridges the
+    # two balls but belongs to neither seed's 1-hop ego network
+    edges = spark.createDataFrame(
+        [("S1", "x"), ("x", "y"), ("y", "S2")], "src string, dst string")
+    seeds = spark.createDataFrame([("S1",), ("S2",)], "node string")
+    nodes, sub_edges = traversal.query_focused_subgraph(
+        edges, seeds, expansion_hops=1)
+    assert {r["node"] for r in nodes.collect()} == {"S1", "x", "y", "S2"}
+    assert {(r["src"], r["dst"]) for r in sub_edges.collect()} == \
+        {("S1", "x"), ("y", "S2")}
