@@ -486,6 +486,58 @@ def q_events_hourly(spark, sf_dir):
         "key", "n_events", "sum_value", "avg_value")
 
 
+# Temporal-evolution analytics (G11, temporal.rs:260-395) over a
+# user↔event-type temporal graph derived from events: each event is an
+# edge valid for 2 hours from its timestamp.
+_TG_START = 1704067200            # 2024-01-01 00:00:00 UTC
+_TG_G = 86400                     # 1-day buckets
+_TG_END = _TG_START + 29 * _TG_G  # 30 buckets
+_TG_TTL = 7200
+_TG_T1 = _TG_START + 5 * _TG_G + 43200   # churn snapshot points (midday)
+_TG_T2 = _TG_START + 25 * _TG_G + 43200
+
+
+def _temporal_edges(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    t = F.col("ts").cast("timestamp").cast("long")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.col("event_type").alias("dst"),
+        t.alias("ts"), t.alias("start_time"),
+        (t + _TG_TTL).alias("end_time"))
+
+
+def q_graph_evolution(spark, sf_dir):
+    """G11 evolution metrics (temporal.rs:271-307): per daily bucket —
+    node/edge counts, density, avg degree, empty buckets as zeros."""
+    from graphrag_rs_spark.operators.temporal import evolution_metrics
+    return evolution_metrics(_temporal_edges(spark, sf_dir),
+                             _TG_START, _TG_END, _TG_G)
+
+
+def q_node_churn(spark, sf_dir):
+    """G11 node churn (temporal.rs:310-345): added/removed/stable nodes
+    between two point snapshots."""
+    from graphrag_rs_spark.operators.temporal import node_churn
+    return node_churn(_temporal_edges(spark, sf_dir), _TG_T1, _TG_T2)
+
+
+def q_top_growing(spark, sf_dir):
+    """G11 top growing nodes (temporal.rs:347-371): degree growth between
+    the first and last daily bucket, top-20."""
+    from graphrag_rs_spark.operators.temporal import top_growing_nodes
+    return top_growing_nodes(_temporal_edges(spark, sf_dir),
+                             _TG_START, _TG_END, _TG_G, top_k=20)
+
+
+def q_temporal_centrality(spark, sf_dir):
+    """G11 temporal centrality (temporal.rs:373-395): per-bucket
+    degree/(n-1) for the 'view' event-type node."""
+    from graphrag_rs_spark.operators.temporal import temporal_centrality
+    return temporal_centrality(_temporal_edges(spark, sf_dir), "view",
+                               _TG_START, _TG_END, _TG_G)
+
+
 def q_sessions(spark, sf_dir):
     from graphrag_rs_spark.operators.temporal import sessionize
     sess = sessionize(_events(spark, sf_dir), "user_id", "ts",
@@ -613,6 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm": q_pagerank_warm,
         "hier_summary": q_hier_summary,
         "events_hourly": q_events_hourly,
+        "graph_evolution": q_graph_evolution,
+        "node_churn": q_node_churn,
+        "top_growing": q_top_growing,
+        "temporal_centrality": q_temporal_centrality,
         "sessions": q_sessions,
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
@@ -1394,6 +1450,80 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = _pagerank_sql(5, 0.85)
     sql["pagerank_warm"] = _pagerank_warm_sql(3, 2, 0.85)
     sql["hier_summary"] = _hier_summary_sql(4, 600, 8, 20)
+
+    # ---- temporal evolution analytics (G11) ---------------------------
+    _tg_ed = f"""
+        ed as (select 'u' || cast(user_id as varchar) as src,
+                      event_type as dst,
+                      floor(epoch(ts))::BIGINT as t
+               from events)
+    """
+    _tg_ends = f"""
+        buckets as (select unnest(generate_series(0,
+                      {(_TG_END - _TG_START) // _TG_G})) as b),
+        act as (select b, src, dst from buckets join ed
+                 on ed.t <= {_TG_START} + b * {_TG_G} + {_TG_G}
+                and ed.t + {_TG_TTL} >= {_TG_START} + b * {_TG_G}),
+        ends as (select b, unnest(list_distinct([src, dst])) as node
+                 from act)
+    """
+    sql["graph_evolution"] = f"""
+        with {_tg_ed}, {_tg_ends},
+        ec as (select b, count(*) as ec from act group by b),
+        nc as (select b, count(distinct node) as nc, count(*) as td
+               from ends group by b)
+        select {_TG_START} + b * {_TG_G} as timestamp,
+               coalesce(nc, 0) as node_count,
+               coalesce(ec, 0) as edge_count,
+               round(case when coalesce(nc, 0) < 2 then 0.0
+                          else ec / (nc * (nc - 1) / 2.0) end, 6) as density,
+               round(case when coalesce(nc, 0) = 0 then 0.0
+                          else td / nc::DOUBLE end, 6) as avg_degree
+        from buckets left join ec using (b) left join nc using (b)
+    """
+    sql["node_churn"] = f"""
+        with {_tg_ed},
+        s1 as (select distinct node from (
+                 select unnest(list_distinct([src, dst])) as node from ed
+                 where t <= {_TG_T1} and t + {_TG_TTL} >= {_TG_T1})),
+        s2 as (select distinct node from (
+                 select unnest(list_distinct([src, dst])) as node from ed
+                 where t <= {_TG_T2} and t + {_TG_TTL} >= {_TG_T2}))
+        select coalesce(s1.node, s2.node) as node,
+               case when s1.node is not null and s2.node is not null
+                      then 'stable'
+                    when s1.node is null then 'added'
+                    else 'removed' end as status
+        from s1 full join s2 on s1.node = s2.node
+    """
+    sql["top_growing"] = f"""
+        with {_tg_ed},
+        d0 as (select node, count(*) as deg from (
+                 select unnest(list_distinct([src, dst])) as node from ed
+                 where t <= {_TG_START} + {_TG_G}
+                   and t + {_TG_TTL} >= {_TG_START}) group by node),
+        d1 as (select node, count(*) as deg from (
+                 select unnest(list_distinct([src, dst])) as node from ed
+                 where t <= {_TG_END}
+                   and t + {_TG_TTL} >= {_TG_END} - {_TG_G}) group by node)
+        select d1.node as node,
+               round(case when coalesce(d0.deg, 0) > 0
+                          then (d1.deg - d0.deg) / d0.deg::DOUBLE
+                          else d1.deg::DOUBLE end, 6) as growth
+        from d1 left join d0 on d0.node = d1.node
+        order by growth desc, node asc limit 20
+    """
+    sql["temporal_centrality"] = f"""
+        with {_tg_ed}, {_tg_ends},
+        agg as (select b, count(distinct node) as nc,
+                       sum(case when node = 'view' then 1 else 0 end) as dg
+                from ends group by b)
+        select {_TG_START} + b * {_TG_G} as timestamp,
+               round(case when coalesce(nc, 0) <= 1 then 0.0
+                          else coalesce(dg, 0) / (nc - 1.0) end, 6)
+                 as centrality
+        from buckets left join agg using (b)
+    """
 
     sql["events_hourly"] = """
         select epoch(date_trunc('hour', ts))::BIGINT as window_start_s,

@@ -260,3 +260,75 @@ def test_dictionary_ner_short_doc(spark):
                                 ["phrase", "entity_type"])
     res = dictionary_ner(docs, lex, max_words=3).collect()
     assert len(res) == 1 and res[0].doc_id == 1 and res[0].n_mentions == 1
+
+
+# --- temporal evolution analytics (reference graph/temporal.rs:260-395) ---
+
+@pytest.fixture(scope="module")
+def ref_temporal_edges(spark):
+    """The reference's test temporal graph (temporal.rs:432-468):
+    A-B [100,200], B-C [150,250], A-C [200,300]."""
+    return spark.createDataFrame(
+        [("A", "B", 100, 100, 200), ("B", "C", 150, 150, 250),
+         ("A", "C", 200, 200, 300)],
+        "src string, dst string, ts long, start_time long, end_time long")
+
+
+def test_evolution_metrics_golden(ref_temporal_edges):
+    from graphrag_rs_spark.operators.temporal import evolution_metrics
+    rows = {r["timestamp"]: r for r in evolution_metrics(
+        ref_temporal_edges, 100, 300, 50).collect()}
+    assert set(rows) == {100, 150, 200, 250, 300}
+    assert (rows[100]["node_count"], rows[100]["edge_count"]) == (3, 2)
+    assert rows[100]["density"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[100]["avg_degree"] == pytest.approx(4 / 3, abs=1e-6)
+    assert (rows[150]["edge_count"], rows[150]["density"],
+            rows[150]["avg_degree"]) == (3, 1.0, 2.0)
+    assert (rows[200]["edge_count"], rows[200]["density"]) == (3, 1.0)
+    assert (rows[250]["node_count"], rows[250]["edge_count"]) == (3, 2)
+    assert (rows[300]["node_count"], rows[300]["edge_count"],
+            rows[300]["density"], rows[300]["avg_degree"]) == (2, 1, 1.0, 1.0)
+
+
+def test_node_churn_golden(spark):
+    """temporal.rs:532-570 test_node_churn: point edges at ts 100 (A-B)
+    and 200 (B-C) → B stable, C added, A removed."""
+    from graphrag_rs_spark.operators.temporal import node_churn
+    edges = spark.createDataFrame(
+        [("A", "B", 100), ("B", "C", 200)], "src string, dst string, ts long")
+    got = {r["node"]: r["status"]
+           for r in node_churn(edges, 100, 200).collect()}
+    assert got == {"A": "removed", "B": "stable", "C": "added"}
+
+
+def test_top_growing_nodes(spark):
+    from graphrag_rs_spark.operators.temporal import top_growing_nodes
+    edges = spark.createDataFrame(
+        [("A", "B", 5), ("A", "C", 95), ("A", "D", 96), ("C", "D", 97)],
+        "src string, dst string, ts long")
+    got = [(r["node"], r["growth"]) for r in top_growing_nodes(
+        edges, 0, 100, 10, top_k=2).collect()]
+    # C and D absent at the start → growth = end degree (2.0); the 6dp
+    # rounding + node-asc tie-break pins the order
+    assert got == [("C", 2.0), ("D", 2.0)]
+    full = {r["node"]: r["growth"] for r in top_growing_nodes(
+        edges, 0, 100, 10, top_k=10).collect()}
+    assert full == {"A": 1.0, "C": 2.0, "D": 2.0}   # (2-1)/1 for A
+
+
+def test_temporal_centrality_golden(ref_temporal_edges):
+    from graphrag_rs_spark.operators.temporal import temporal_centrality
+    got = {r["timestamp"]: r["centrality"] for r in temporal_centrality(
+        ref_temporal_edges, "C", 100, 300, 50).collect()}
+    assert got == {100: 0.5, 150: 1.0, 200: 1.0, 250: 1.0, 300: 1.0}
+
+
+def test_temporal_boundary_edge_in_two_buckets(spark):
+    """Reference buckets [t, t+g] are inclusive both ends — an edge AT a
+    boundary timestamp appears in both adjacent buckets."""
+    from graphrag_rs_spark.operators.temporal import evolution_metrics
+    edges = spark.createDataFrame([("A", "B", 50)],
+                                  "src string, dst string, ts long")
+    rows = {r["timestamp"]: r["edge_count"] for r in evolution_metrics(
+        edges, 0, 100, 50).collect()}
+    assert rows == {0: 1, 50: 1, 100: 0}
