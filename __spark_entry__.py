@@ -609,6 +609,21 @@ def q_node2vec(spark, sf_dir):
     return out.select("node", F.size("embedding").alias("dim"))
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """G12 node2vec walk corpus, value-verified: the same iterative
+    join loop as q_node2vec's trainer input, run with the engine-portable
+    h60 draw so DuckDB replays every hop (recursive CTE over the sorted
+    adjacency lists + the inverse-CDF index formula).  This closes the
+    walk half of node2vec's verification; the Word2Vec training step
+    remains pytest-verified (not SQL-expressible)."""
+    from graphrag_rs_spark.algos.embeddings import random_walks
+    edges = _cust_supp_edges(spark, sf_dir)
+    out = random_walks(edges, walks_per_node=2, walk_length=5, seed=7,
+                       draw="h60")
+    return out.select("node", F.col("walk_id").cast("int").alias("walk_id"),
+                      F.concat_ws("->", "walk").alias("walk"))
+
+
 def q_rograg_fuzzy(spark, sf_dir):
     """Q13 ROGRAG fuzzy matching (reference rograg/fuzzy_matcher.rs),
     distributed: one literal query scanned against an entities table
@@ -650,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_triples": q_kg_sql_triples,
         "kg_sql_paths": q_kg_sql_paths,
         "bfs_reach": q_bfs_reach,
+        "node2vec_walks": q_node2vec_walks,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "dual_retrieval": q_dual_retrieval,
@@ -1166,6 +1182,45 @@ def oracle_sql() -> dict[str, str]:
         select array_to_string(path, '->') as path,
                len(path)::INT as n_nodes
         from hits
+    """
+    # node2vec walk corpus replay: adjacency = sorted neighbor lists;
+    # per hop u = (h60(start|wid|step|cur|seed) % 1000003) / 1000003,
+    # neighbor index = clamp(ceil(u·deg) - 1, 0, deg-1) — closed form of
+    # the uniform-weight inverse-CDF fold in algos/embeddings._pick_expr.
+    # The recursion keeps every prefix; rn=1 keeps each walk's final row.
+    sql["node2vec_walks"] = """
+        with e0 as (
+          select distinct 'c' || cast(o_custkey as varchar) as src,
+                          's' || cast(l_suppkey as varchar) as dst
+          from orders join lineitem on o_orderkey = l_orderkey),
+        e as (select src, dst from e0
+              union select dst as src, src as dst from e0),
+        adj as (select src as node, list(dst order by dst) as nbrs
+                from e group by src),
+        walked as (
+          with recursive r(start, wid, cur, path, step) as (
+            select node, wid, node, [node], 0
+            from adj cross join (values (0), (1)) w(wid)
+            union all
+            select r.start, r.wid, nn.nbr,
+                   list_append(r.path, nn.nbr), r.step + 1
+            from r
+            join adj a on a.node = r.cur,
+            lateral (select
+              (('0x' || substr(md5(r.start || '|' || cast(r.wid as varchar)
+                  || '|' || cast(r.step + 1 as varchar) || '|' || r.cur
+                  || '|7'), 1, 15))::BIGINT % 1000003) / 1000003.0 as u) uu,
+            lateral (select a.nbrs[
+              greatest(least(ceil(uu.u * len(a.nbrs))::BIGINT - 1,
+                             len(a.nbrs) - 1), 0) + 1] as nbr) nn
+            where r.step < 4)
+          select start, wid, path,
+                 row_number() over (partition by start, wid
+                                    order by step desc) as rn
+          from r)
+        select start as node, wid::INT as walk_id,
+               array_to_string(path, '->') as walk
+        from walked where rn = 1
     """
     sql["bfs_reach"] = f"""
         with e0 as (

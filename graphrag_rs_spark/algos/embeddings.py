@@ -85,11 +85,17 @@ def random_walks(
     q: float = 1.0,
     seed: int = 42,
     checkpoint_every: int = 5,
+    draw: str = "xxhash64",
 ) -> DataFrame:
     """→ (node, walk_id, walk array<string>) — one row per started walk.
 
     Walks stop early at sink nodes (no out-neighbors), like the
     reference's `break` (embeddings.rs:203-205).
+
+    `draw` picks the per-step uniform hash: "xxhash64" (default, JVM
+    codegen, fastest) or "h60" (md5-prefix bigint — the repo's
+    engine-portable hash, so an external SQL engine can replay the walk
+    corpus value-for-value; see the node2vec_walks contract oracle).
     """
     adj = _adjacency(edges).persist()
 
@@ -125,9 +131,17 @@ def random_walks(
                 lambda s: s["w"] * F.when(s["dst"] == F.col("prev"),
                                           F.lit(inv_p))
                 .otherwise(F.lit(inv_q))))
-        u = (F.pmod(F.xxhash64("start", "walk_id", F.lit(step), "cur",
-                               F.lit(seed)), F.lit(_M))
-             .cast("double") / F.lit(float(_M)))
+        if draw == "h60":
+            from graphrag_rs_spark.functions.hashing import h60
+            key = F.concat_ws(
+                "|", "start", F.col("walk_id").cast("string"),
+                F.lit(str(step)), "cur", F.lit(str(seed)))
+            u = (F.pmod(h60(key), F.lit(_M)).cast("double")
+                 / F.lit(float(_M)))
+        else:
+            u = (F.pmod(F.xxhash64("start", "walk_id", F.lit(step), "cur",
+                                   F.lit(seed)), F.lit(_M))
+                 .cast("double") / F.lit(float(_M)))
         nxt = F.when(F.col("done") | F.col("nbrs").isNull()
                      | (F.size("nbrs") == 0),
                      F.lit(None).cast("string")) \

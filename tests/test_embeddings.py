@@ -112,3 +112,19 @@ def test_walks_invariant_to_partitioning(spark, diamond_edges):
     w2 = sorted(map(str, random_walks(
         diamond_edges.repartition(7, "src"), 2, 5, seed=9).collect()))
     assert w1 == w2
+
+
+def test_walks_h60_draw_engine_portable(diamond_edges):
+    """The h60 draw variant is deterministic and structurally valid —
+    the cross-engine value check lives in the node2vec_walks contract
+    oracle (__spark_entry__)."""
+    edge_set = {(r["src"], r["dst"]) for r in diamond_edges.collect()}
+    w1 = sorted(map(str, random_walks(diamond_edges, 2, 4, seed=7,
+                                      draw="h60").collect()))
+    w2 = sorted(map(str, random_walks(diamond_edges, 2, 4, seed=7,
+                                      draw="h60").collect()))
+    assert w1 == w2
+    for r in random_walks(diamond_edges, 2, 4, seed=7,
+                          draw="h60").collect():
+        for a, b in zip(r["walk"], r["walk"][1:]):
+            assert (a, b) in edge_set
