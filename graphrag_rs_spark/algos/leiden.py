@@ -127,12 +127,47 @@ def _components_within(adj: dict[str, set], members: list[str]) -> list[list[str
     return out
 
 
+def label_propagation(node_rows: DataFrame, edge_rows: DataFrame,
+                      iterations: int = 10) -> DataFrame:
+    """Distributed synchronous label propagation over (component, src,
+    dst) edges — the giant-component fallback: every step is joins +
+    aggregations, so one huge component spreads across the cluster
+    instead of serializing into (and OOMing) a single Leiden worker.
+
+    Label update = most frequent neighbor label, ties broken by the
+    LARGEST label (max over (count, label) structs — deterministic).
+    → (component, node, label)."""
+    bidir = edge_rows.select("component", "src", "dst").union(
+        edge_rows.select("component", F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))).distinct() \
+        .localCheckpoint(eager=True)
+    labels = node_rows.select("component", F.col("src").alias("node")) \
+        .distinct().withColumn("label", F.col("node")) \
+        .localCheckpoint(eager=True)
+    for _ in range(iterations):
+        nbr = bidir.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst")
+        counts = nbr.groupBy("component", "src", "label") \
+            .agg(F.count(F.lit(1)).alias("n"))
+        new = counts.groupBy("component", F.col("src").alias("node")).agg(
+            F.max(F.struct("n", "label"))["label"].alias("new_label"))
+        labels = (
+            labels.join(new, ["component", "node"], "left")
+            .select("component", "node",
+                    F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def leiden_communities(
     entities: DataFrame,
     triple_mentions: DataFrame,
     cc_labels: DataFrame,
     resolution: float = 1.0,
     level: int = 1,
+    max_component_edges: int = 5_000_000,
+    lpa_iterations: int = 10,
 ) -> DataFrame:
     """Distributed driver: CC labels shard the graph; exact Leiden runs
     per component in one applyInPandas pass.
@@ -140,7 +175,13 @@ def leiden_communities(
     cc_labels: (node, component) from algos.cc.connected_components.
     Returns (entity_id, level, community) with community ids globally
     unique as "{component}#{local_id}".
-    """
+
+    Giant-component guard: a component with more than
+    `max_component_edges` distinct edges would serialize the stage into
+    one Leiden worker (and can OOM it) — those components fall back to
+    distributed `label_propagation`, and their community ids carry an
+    "lpa:" marker ("{component}#lpa:{label}") so the fallback is COUNTED
+    by any consumer, never silent."""
     edges = (
         triple_mentions.select(F.col("subj").alias("src"),
                                F.col("obj").alias("dst"))
@@ -154,6 +195,21 @@ def leiden_communities(
                                  F.lit(None).cast("string").alias("dst"))
     grouped = edge_rows.unionByName(node_rows)
 
+    big = edge_rows.groupBy("component") \
+        .agg(F.count(F.lit(1)).alias("_n")) \
+        .filter(F.col("_n") > int(max_component_edges)) \
+        .select("component").localCheckpoint(eager=True)
+    fallback = None
+    if not big.isEmpty():
+        grouped = grouped.join(big, "component", "left_anti")
+        lpa = label_propagation(
+            node_rows.join(big, "component", "left_semi"),
+            edge_rows.join(big, "component", "left_semi"),
+            iterations=lpa_iterations)
+        fallback = lpa.select(
+            F.col("node").alias("entity_id"), F.lit(level).alias("level"),
+            F.concat("component", F.lit("#lpa:"), "label").alias("community"))
+
     def run_leiden(pdf: pd.DataFrame) -> pd.DataFrame:
         component = pdf["component"].iloc[0]
         nodes = list(pdf["src"].dropna().unique())
@@ -166,5 +222,6 @@ def leiden_communities(
             "community": [f"{component}#{c}" for c in part.values()],
         })
 
-    return grouped.groupBy("component").applyInPandas(
+    exact = grouped.groupBy("component").applyInPandas(
         run_leiden, schema="entity_id string, level int, community string")
+    return exact if fallback is None else exact.unionByName(fallback)

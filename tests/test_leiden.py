@@ -87,3 +87,36 @@ def test_hierarchical_communities(spark):
     lvl0 = out.filter(F.col("level") == 0).count()
     lvl1 = out.filter(F.col("level") == 1).count()
     assert lvl0 == 4 and lvl1 == 4
+
+
+def test_giant_component_falls_back_to_lpa(spark):
+    """A component above max_component_edges takes the distributed
+    label-propagation path (community marked 'lpa:', countable — never
+    silent); components under the cap keep exact Leiden."""
+    from graphrag_rs_spark.algos.cc import connected_components
+    from pyspark.sql import functions as F
+    n1, e1 = _clique("g", 8)            # 28 distinct edges: the "giant"
+    n2, e2 = _clique("s", 3)            # 3 edges: stays exact
+    edges = e1 + e2
+    nodes = n1 + n2
+    entities = spark.createDataFrame([(n,) for n in nodes],
+                                     "entity_id string")
+    flat = spark.createDataFrame(
+        [("ch", s, "KNOWS", o) for s, o in edges],
+        "chunk_id string, subj string, pred string, obj string")
+    cc = connected_components(
+        flat.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        nodes=entities.select(F.col("entity_id").alias("node")))
+    out = leiden_communities(entities, flat, cc, max_component_edges=10,
+                             lpa_iterations=5)
+    part = {r["entity_id"]: r["community"] for r in out.collect()}
+    assert len(part) == len(nodes)                     # full coverage
+    lpa_nodes = {n for n, c in part.items() if "#lpa:" in c}
+    assert lpa_nodes == set(n1)                        # giant → LPA, counted
+    assert len({part[n] for n in n1}) == 1             # clique converges
+    assert len({part[n] for n in n2}) == 1             # small stays exact
+    assert "#lpa:" not in part["s0"]
+    # determinism of the fallback
+    out2 = leiden_communities(entities, flat, cc, max_component_edges=10,
+                              lpa_iterations=5)
+    assert part == {r["entity_id"]: r["community"] for r in out2.collect()}
