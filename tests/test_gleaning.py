@@ -134,3 +134,111 @@ def test_chunk_with_no_wave0_entities_still_extracts(spark):
     out, _, _ = gleaning_extract(chunks, FakeGleaningLM, max_rounds=4)
     got = {r["name"] for r in out.collect()}
     assert {n for n, _ in ents} <= got
+
+
+# ---- adversarial wire-format hardening (E8 seam) -----------------------
+
+def _adversarial_lm_factory():
+    """Built inside a function so cloudpickle ships it BY VALUE to the
+    Python workers (a test-module top-level class pickles by reference
+    to 'test_gleaning', which executors cannot import)."""
+
+    class AdversarialGleaningLM:
+        """Deterministic hostile LM: unparseable garbage, duplicate names
+        re-emitted every round with changing descriptions, junk records,
+        ghost relationship endpoints, and completion checks that never say
+        YES.  Personas keyed by the chunk text prefix."""
+
+        SPAM_ENTS = [("Alice", "PERSON"), ("Bob", "PERSON"),
+                     ("Paris", "LOCATION")]
+
+        def complete(self, prompts):
+            return [self._one(p) for p in prompts]
+
+        @staticmethod
+        def _payload(ents, rels):
+            import json as _json
+            return _json.dumps({
+                "entities": [
+                    {"name": n, "entity_type": t, "description": d}
+                    for n, t, d in ents],
+                "relationships": [
+                    {"source": s, "target": t, "description": d,
+                     "strength": 0.7} for s, t, d in rels],
+            })
+
+        def _one(self, prompt):
+            text, found = FakeGleaningLM._split(prompt)
+            if prompt.startswith("Answer YES"):
+                if text.startswith("JUNK") and found:
+                    return "YES"
+                return "NO, never satisfied, keep going!!!"
+            if text.startswith("GARBAGE"):
+                return 'Sure! here{ "entities": [ broken and never closed'
+            if text.startswith("SPAM"):
+                known = [(n, t) for n, t in self.SPAM_ENTS
+                         if n.lower() in found]
+                fresh = [(n, t) for n, t in self.SPAM_ENTS
+                         if n.lower() not in found][:1]
+                pad = "x" * (3 * len(found))
+                ents = [(n, t, f"{n} desc {pad}") for n, t in known + fresh]
+                return self._payload(ents, [])
+            if text.startswith("JUNK"):
+                import json as _json
+                body = _json.dumps({
+                    "entities": [
+                        {"name": "Carol", "entity_type": "PERSON",
+                         "description": "good"},
+                        {"name": ""}, {"entity_type": "X"}, 42,
+                        {"name": "Acme", "entity_type": "ORGANIZATION",
+                         "description": "good"},
+                    ],
+                    "relationships": [
+                        {"source": "Carol", "target": "Acme",
+                         "description": "works_at", "strength": 0.9},
+                        {"source": "GHOST", "target": "Acme",
+                         "description": "haunts", "strength": 0.1},
+                        {"source": "Carol"}, "junk",
+                    ],
+                })
+                return f"```json\n{body}\n```"
+            return "{}"
+
+
+    return AdversarialGleaningLM
+
+
+def test_adversarial_lm_never_breaks_the_loop(spark):
+    chunks = spark.createDataFrame(
+        [("g1", "GARBAGE nothing parseable here"),
+         ("s1", "SPAM Alice met Bob in Paris"),
+         ("j1", "JUNK Carol works at Acme")],
+        "chunk_id string, content string")
+    ents, mentions, rels = gleaning_extract(
+        chunks, _adversarial_lm_factory(), max_rounds=5)
+    e = ents.collect()
+    by_chunk = {}
+    for r in e:
+        by_chunk.setdefault(r["chunk_id"], {})[r["name"]] = r
+
+    # garbage chunk: parser never throws, emits nothing, loop terminates
+    assert "g1" not in by_chunk
+    # junk records filtered; good ones kept
+    assert set(by_chunk["j1"]) == {"Carol", "Acme"}
+    # duplicate re-emission across rounds dedups per (chunk, lower name),
+    # E9 keeps the LONGEST (= latest round's padded) description
+    assert set(by_chunk["s1"]) == {"Alice", "Bob", "Paris"}
+    assert by_chunk["s1"]["Alice"]["description"] == "Alice desc " + "x" * 6
+    assert by_chunk["s1"]["Bob"]["description"] == "Bob desc " + "x" * 6
+    # one row per (chunk, name): no dup leakage
+    keys = [(r["chunk_id"], r["name"].lower()) for r in e]
+    assert len(keys) == len(set(keys))
+
+    # ghost endpoints dropped; the real relationship survives
+    rl = rels.collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rl] == \
+        [("PERSON_carol", "works_at", "ORGANIZATION_acme")]
+
+    # mentions only where names occur in the text
+    m = {(r["chunk_id"], r["entity_id"]) for r in mentions.collect()}
+    assert ("s1", "PERSON_alice") in m and ("j1", "PERSON_carol") in m
