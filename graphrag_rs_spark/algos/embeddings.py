@@ -60,17 +60,28 @@ def _adjacency(edges: DataFrame) -> DataFrame:
 def _pick_expr(alphas, u_frac):
     """Index of the first element where the cumulative sum of `alphas`
     crosses u_frac × total — inverse-CDF categorical sampling as a pure
-    Catalyst fold (no UDF)."""
+    Catalyst fold (no UDF).
+
+    The target (u × Σalphas) rides IN the fold accumulator: higher-order
+    functions are interpreted, so an expression embedded in the step
+    lambda re-evaluates per element — with the Σ aggregate inlined there
+    the fold was O(degree²) per row (measured 226 s on the sf0.1
+    customer/supplier graph, hot suppliers ~10³ neighbors; 14 s after).
+    init evaluates once per row, so the Σ is computed once and each step
+    reads it as a field."""
     total = F.aggregate(alphas, F.lit(0.0), lambda acc, x: acc + x)
-    target = u_frac * total
-    # fold carrying (cum, idx, found): idx freezes at the crossing point
+    # fold carrying (cum, idx, found, target): idx freezes at the crossing
     init = F.struct(F.lit(0.0).alias("cum"), F.lit(0).alias("idx"),
-                    F.lit(False).alias("found"))
+                    F.lit(False).alias("found"),
+                    (u_frac * total).alias("target"))
     step = lambda acc, x: F.struct(
         (acc["cum"] + x).alias("cum"),
-        F.when(acc["found"] | ((acc["cum"] + x) >= target), acc["idx"])
+        F.when(acc["found"] | ((acc["cum"] + x) >= acc["target"]),
+               acc["idx"])
         .otherwise(acc["idx"] + 1).alias("idx"),
-        (acc["found"] | ((acc["cum"] + x) >= target)).alias("found"),
+        (acc["found"] | ((acc["cum"] + x) >= acc["target"]))
+        .alias("found"),
+        acc["target"].alias("target"),
     )
     folded = F.aggregate(alphas, init, step)
     # numeric edge (u_frac ~1.0 and float rounding): clamp to last index
