@@ -18,6 +18,27 @@
 Cosine is computed in double precision; callers round for cross-engine
 comparison.  At 100 TB the broadcast side must be the small one (queries);
 for self-join ANN use lsh_buckets to bound the pair fan-out.
+
+HNSW (reference vector/mod.rs:132-196, feature-gated) is deliberately NOT
+ported.  It is a pointer-chasing in-memory graph index — the wrong shape
+for a shared-nothing engine: the graph walk is inherently sequential per
+query, and keeping a mutable multi-layer index consistent across
+executors re-creates a vector database inside Spark.  The distributed
+substitutes and their recall/cost envelope, so users can pick:
+
+  exact cosine_topk — recall 1.0, O(n) per query; right whenever the
+    query side is small enough to broadcast (the reference's own query
+    path scans too: vector/mod.rs brute-force fallback).
+  ivf_topk — recall ≈ the fraction of true neighbors inside the probed
+    n_probe/n_lists cells (typically 0.8-0.95 at n_probe/n_lists ≈
+    5-10%); cost O(n · n_probe / n_lists) — scan prunes to the probed
+    inverted lists, the layout a parquet table bucketed by list id prunes
+    for free.  HNSW at equal recall does fewer distance evaluations per
+    query (log-ish), but only on one machine's RAM.
+  lsh_buckets — recall = P(sign sketches collide) for true pairs (rises
+    with fewer planes; tune n_planes for the pair-density/recall trade);
+    cost bounded by bucket sizes, embarrassingly parallel, the right
+    self-join ANN at 10⁹+ rows.
 """
 
 from __future__ import annotations

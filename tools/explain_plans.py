@@ -187,6 +187,36 @@ def main() -> int:
         "whole step is ONE job with no driver-side collect; lineage is "
         "cut by an eager localCheckpoint per step.", trim(p)))
 
+    # 9. kg_sql_triples — the SQL-expressible flagship path end-to-end
+    p = plan_of(q["kg_sql_triples"](spark, sf_dir))
+    check("kg_sql: no Python anywhere",
+          "BatchEvalPython" not in p and "MapInPandas" not in p,
+          "NER + triples + rewrite must stay JVM-side")
+    check("kg_sql: broadcast joins present (lexicon + alias map)",
+          "BroadcastHashJoin" in p, "expected broadcast hash joins")
+    SECTIONS.append((
+        "kg_sql_triples — dictionary-NER → triples → canonical rewrite",
+        "The whole SQL-expressible flagship path is one JVM plan: "
+        "broadcast lexicon NER, co-occurrence self-join with the "
+        "predicate when-chain, CC closure (driver fast path at this "
+        "scale), and the capped alias-map broadcast rewrite "
+        "(hot top-K broadcast; cold tail unhinted for AQE — see "
+        "tests/test_canonicalize.py plan-shape test).", trim(p)))
+
+    # 10. graph_evolution — bucket fan-out via sequence/explode, no
+    # cartesian product, codegen aggregation
+    p = plan_of(q["graph_evolution"](spark, sf_dir))
+    check("temporal: bucket assignment is explode, not cross join",
+          "CartesianProduct" not in p, "bucket fan-out must not be O(n×b)")
+    check("temporal: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    SECTIONS.append((
+        "graph_evolution — per-bucket snapshot metrics",
+        "Each edge computes its closed-form active-bucket index range and "
+        "explodes to O(active buckets) rows — never an edges×buckets "
+        "cross join; counts/density/avg-degree are two-phase hash "
+        "aggregates joined to the bucket spine.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
