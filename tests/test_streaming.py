@@ -53,6 +53,130 @@ def test_incremental_equals_batch(spark, split_input, tmp_path):
     assert inc_triples == bat_triples
 
 
+def _write_turns(spark, path, rows):
+    from graphrag_rs_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_sessionize_semantics(spark, tmp_path):
+    """Stateful sessionization: gap close, turn dedup, byte-identical
+    re-emission in stable turn order (the north-rule invariant)."""
+    import datetime as dt
+
+    from graphrag_rs_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from graphrag_rs_spark.streaming.sessionize import (
+        assemble_conversations_stream,
+    )
+
+    def T(minutes):
+        return dt.datetime(2026, 1, 1, 12, 0, 0) + dt.timedelta(
+            minutes=minutes)
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    _write_turns(spark, os.path.join(indir, "b1"), [
+        ("A", 0, "user", "hello a0", None, T(0)),
+        ("A", 1, "assistant", "reply a1", "search", T(1)),
+        ("B", 0, "user", "hello b0", None, T(2)),
+    ])
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(
+        os.path.join(indir, "*"))
+    closed = assemble_conversations_stream(stream, gap_minutes=5.0)
+    q = (closed.writeStream.format("memory").queryName("sess_closed")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from sess_closed").count() == 0
+
+        # late-but-in-gap turn for A, duplicate re-delivery of A1 with
+        # DIFFERENT text (at-least-once source; keep-first must win),
+        # and a clock conversation advancing event time past A+B's gap
+        _write_turns(spark, os.path.join(indir, "b2"), [
+            ("A", 2, "user", "followup a2", None, T(3)),
+            ("A", 1, "assistant", "REDELIVERED", None, T(1)),
+            ("C", 0, "user", "tick", None, T(30)),
+        ])
+        q.processAllAvailable()
+        got = {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool, r.ts)
+               for r in spark.sql("select * from sess_closed").collect()}
+        assert set(got) == {("A", 0), ("A", 1), ("A", 2), ("B", 0)}
+        # byte-identical per-turn payload, keep-first dedup, ts round-trip
+        assert got[("A", 1)] == ("assistant", "reply a1", "search", T(1))
+        assert got[("A", 2)] == ("user", "followup a2", None, T(3))
+        assert got[("B", 0)] == ("user", "hello b0", None, T(2))
+    finally:
+        q.stop()
+
+
+def test_sessionized_stream_equals_batch(spark, tmp_path):
+    """Turn-event stream (conversations split across micro-batches) →
+    sessionize → process_increment == one-shot batch build."""
+    from graphrag_rs_spark.streaming.sessionize import (
+        stream_sessionized_index,
+    )
+
+    rows = generate_rows(8, seed=7, max_turns=12)
+    rows = [dict(r) for r in rows]
+    ts_sorted = sorted(r["ts"] for r in rows)
+    cutoff = ts_sorted[len(ts_sorted) // 2]
+    max_ts = ts_sorted[-1]
+    import datetime as dt
+    clock1 = {"conv_id": "zz_clock1", "turn_idx": 0, "role": "user",
+              "text": "tick", "tool": None,
+              "ts": max_ts + dt.timedelta(hours=10)}
+    clock2 = {"conv_id": "zz_clock2", "turn_idx": 0, "role": "user",
+              "text": "tock", "tool": None,
+              "ts": max_ts + dt.timedelta(hours=20)}
+
+    def as_tuples(rs):
+        return [(r["conv_id"], int(r["turn_idx"]), r["role"], r["text"],
+                 r["tool"], r["ts"]) for r in rs]
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    # time-ordered delivery (log tailing): early turns, then the rest
+    _write_turns(spark, os.path.join(indir, "b1"),
+                 as_tuples([r for r in rows if r["ts"] <= cutoff]))
+    out = str(tmp_path / "out")
+    q = stream_sessionized_index(
+        spark, os.path.join(indir, "*"), out, str(tmp_path / "ck"),
+        gap_minutes=30.0, trigger_once=False)
+    try:
+        q.processAllAvailable()
+        _write_turns(spark, os.path.join(indir, "b2"),
+                     as_tuples([r for r in rows if r["ts"] > cutoff]))
+        q.processAllAvailable()
+        _write_turns(spark, os.path.join(indir, "b3"), as_tuples([clock1]))
+        q.processAllAvailable()
+        _write_turns(spark, os.path.join(indir, "b4"), as_tuples([clock2]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    entities, flat = incremental.merge_increment_tables(spark, out)
+
+    # batch oracle: everything that closed (8 convs + clock1; clock2
+    # stays open — no later event ever advances the watermark past it)
+    batch = spark.createDataFrame(as_tuples(rows + [clock1]),
+                                  incremental.TRANSCRIPT_SCHEMA)
+    oracle_out = str(tmp_path / "oracle")
+    incremental.process_increment(batch, oracle_out, DEFAULT_CONFIG)
+    o_entities, o_flat = incremental.merge_increment_tables(
+        spark, oracle_out)
+
+    inc = {(r["entity_id"], r["mention_count"])
+           for r in entities.collect()}
+    bat = {(r["entity_id"], r["mention_count"])
+           for r in o_entities.collect()}
+    assert inc == bat
+    assert ({(r["subj"], r["pred"], r["obj"]) for r in flat.collect()}
+            == {(r["subj"], r["pred"], r["obj"])
+                for r in o_flat.collect()})
+
+
 def test_stream_index_available_now(spark, split_input, tmp_path):
     _, d = split_input
     # stream source dir with both files
