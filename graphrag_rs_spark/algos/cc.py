@@ -106,6 +106,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iterations: int = 50,
     driver_threshold: int = 2_000_000,
+    driver_byte_budget: int = 256 << 20,
 ) -> DataFrame:
     """Return (node, component) for every node, component = min node id.
 
@@ -115,8 +116,9 @@ def connected_components(
     label themselves.
 
     Adaptive execution (same spirit as AQE's broadcast-join demotion):
-    if the edge set fits on the driver (≤ `driver_threshold` rows probed
-    via an incremental limit-collect), solve with union-find locally —
+    if the edge set fits on the driver (≤ `driver_threshold` rows AND
+    ≤ `driver_byte_budget` estimated pandas bytes, probed via an
+    incremental limit-collect), solve with union-find locally —
     the O(log n)-round join loop is pure fixed cost for small graphs and
     dominates pipeline latency.  Larger graphs (the 10^12-turn posture,
     where distinct entity names alone exceed driver memory) take the
@@ -129,9 +131,20 @@ def connected_components(
     if driver_threshold > 0:
         # probe the DEDUPED edge set (raw input may carry per-chunk
         # duplicates); limit(k+1) bounds driver transfer — ≤ k rows back
-        # means we saw ALL edges
-        probe = e.limit(driver_threshold + 1).toPandas()
-        if len(probe) <= driver_threshold:
+        # means we saw ALL edges.  The row cap alone is not enough:
+        # 2M long-string pairs can be hundreds of MB of pandas on a busy
+        # driver, so a small sample first estimates bytes/row and shrinks
+        # the cap to fit `driver_byte_budget`.
+        sample = e.limit(10_000).toPandas()
+        if len(sample) < 10_000:
+            cap, probe = driver_threshold, sample
+        else:
+            bpr = max(1, int(sample.memory_usage(deep=True).sum())
+                      // len(sample))
+            cap = min(driver_threshold,
+                      max(10_000, driver_byte_budget // bpr))
+            probe = e.limit(cap + 1).toPandas()
+        if len(probe) <= cap:
             labels = _driver_union_find(probe)
             e.unpersist()
             # emit the same node dtype as the input edges so the driver

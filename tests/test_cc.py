@@ -56,6 +56,27 @@ def test_cc_duplicate_and_reversed_edges(spark, cc_threshold):
     assert comps == {frozenset("ab")}
 
 
+def test_cc_byte_budget_demotes_driver_path(spark, monkeypatch):
+    """Row count under threshold but bytes over budget → distributed path.
+
+    A handful of very wide string ids fits any row cap but blows a tiny
+    byte budget; the fast path must demote instead of collecting them.
+    """
+    import graphrag_rs_spark.algos.cc as ccmod
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("driver union-find must not run")
+
+    monkeypatch.setattr(ccmod, "_driver_union_find", boom)
+    hub = "a" * 512  # star graph: converges in O(1) contraction rounds
+    wide = [(hub, "b" * 512 + str(i))
+            for i in range(12_000)]  # > sample size so the estimate kicks in
+    e = spark.createDataFrame(wide, "src string, dst string")
+    out = ccmod.connected_components(
+        e, driver_threshold=2_000_000, driver_byte_budget=1024)
+    assert out.select("component").distinct().count() == 1
+
+
 def test_cc_long_path_converges(spark, cc_threshold):
     """Path graph: alternating stars converge in O(log n) rounds.
 
