@@ -177,6 +177,68 @@ def test_sessionized_stream_equals_batch(spark, tmp_path):
                 for r in o_flat.collect()})
 
 
+def test_streaming_rollup_matches_batch_and_drops_late(spark, tmp_path):
+    """Watermarked streaming rollup == batch rollup over on-time events;
+    events older than the watermark are dropped, not merged."""
+    import datetime as dt
+
+    from graphrag_rs_spark.operators.temporal import tumbling_rollup
+    from graphrag_rs_spark.streaming.windowed import streaming_rollup
+
+    def T(h, m):
+        return dt.datetime(2026, 1, 1, h, m, 0)
+
+    EVENT_SCHEMA = "event_type string, value double, ts timestamp"
+
+    def write(name, rows):
+        (spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp_path / "in" / name)))
+
+    os.makedirs(str(tmp_path / "in"))
+    # the 11:45 event pushes the watermark to 11:15 — PAST the 10:00
+    # window's end, which is the condition for dropping late rows (a
+    # window absorbs late events until the watermark passes its end)
+    on_time = [
+        ("A", 1.0, T(10, 5)),
+        ("A", 2.0, T(10, 20)),
+        ("B", 3.0, T(10, 40)),
+        ("A", 4.0, T(11, 45)),
+    ]
+    write("b1", on_time)
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .parquet(str(tmp_path / "in" / "*")))
+    rolled = streaming_rollup(stream, width="1 hour", delay="30 minutes")
+    q = (rolled.writeStream.format("memory").queryName("roll")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # b2: a late event whose window [10:00, 11:00) closed under the
+        # 11:15 watermark — must be DROPPED — plus a clock advancing the
+        # watermark to 12:00, closing the 11:00 window
+        clock1 = ("C", 0.0, T(12, 30))
+        write("b2", [("A", 99.0, T(10, 15)), clock1])
+        q.processAllAvailable()
+        write("b3", [("C", 0.0, T(14, 0))])   # closes clock1's window
+        q.processAllAvailable()
+        got = {(r.window_start, r.key): (r.n_events, r.sum_value,
+                                         r.avg_value)
+               for r in spark.sql("select * from roll").collect()}
+    finally:
+        q.stop()
+
+    closed = tumbling_rollup(
+        spark.createDataFrame(on_time + [clock1], EVENT_SCHEMA),
+        width="1 hour",
+    ).filter(F.col("window_start") < F.lit(T(13, 0)))
+    want = {(r.window_start, r.key): (r.n_events, r.sum_value,
+                                      r.avg_value)
+            for r in closed.collect()}
+    assert got == want
+    # the late 99.0 never appears anywhere
+    assert all(v[1] != 99.0 for v in got.values())
+
+
 def test_stream_index_available_now(spark, split_input, tmp_path):
     _, d = split_input
     # stream source dir with both files
