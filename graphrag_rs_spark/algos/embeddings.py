@@ -177,7 +177,11 @@ def random_walks(
             .otherwise(F.concat("path", F.array("nxt"))).alias("path"),
             F.col("nxt").isNull().alias("done"),
         )
-        if step % checkpoint_every == 0 and step < walk_length - 1:
+        # the LAST step checkpoints too: `adj` is unpersisted below at
+        # plan-BUILD time, so a lazily returned final segment would
+        # re-derive the adjacency once per remaining step when the
+        # caller evaluates (same fix as algos/pagerank.py)
+        if step % checkpoint_every == 0 or step == walk_length - 1:
             walkers = walkers.localCheckpoint(eager=True)
 
     out = walkers.select(F.col("start").alias("node"), "walk_id",
