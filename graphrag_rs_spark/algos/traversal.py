@@ -236,8 +236,14 @@ def degree_stats(edges: DataFrame) -> DataFrame:
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Per-node local clustering coefficient via triangle counting
     (graph/analytics.rs:416-497): 2·triangles / (deg·(deg-1))."""
+    # eager checkpoint, not persist+unpersist: the returned plan scans
+    # `und` four times (both wedge sides, the closure probe, degrees) and
+    # the unpersist below runs at plan-build time — a persisted frame
+    # would be uncached again by the time the caller evaluates (same
+    # lazy-tail defect as algos/pagerank.py); checkpointed blocks stay
+    # until the frame is garbage-collected
     und = _bidir(edges).filter(F.col("src") != F.col("dst")).distinct() \
-        .persist()
+        .localCheckpoint(eager=True)
     a, b = und.alias("a"), und.alias("b")
     # wedges centered at a.src: (a.src, a.dst) + (a.src=b.src, b.dst)
     wedges = a.join(b, (F.col("a.src") == F.col("b.src"))
@@ -260,5 +266,4 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .otherwise(0.0).alias("clustering"),
         )
     )
-    und.unpersist()
     return out
