@@ -21,6 +21,7 @@ def pagerank(
     weighted: bool = False,
     reset: DataFrame | None = None,
     init_ranks: DataFrame | None = None,
+    materialize_result: bool = True,
 ) -> DataFrame:
     """→ (node, rank) after `iterations` power steps (fixed-iteration form,
     exactly reproducible by an unrolled SQL oracle).
@@ -138,7 +139,10 @@ def pagerank(
         # recompute norm_edges/teleport uncached when the caller finally
         # evaluates (measured: ~40% of query wall; catastrophic when the
         # result feeds another pagerank call, as in the warm-start path)
-        if (i + 1) % checkpoint_every == 0 or (i + 1) == iterations:
+        # (`materialize_result=False` keeps the last step lazy — only for
+        # plan introspection, e.g. tools/explain_plans.py)
+        if (i + 1) % checkpoint_every == 0 or (
+                materialize_result and (i + 1) == iterations):
             ranks = ranks.localCheckpoint(eager=True)
 
     out = ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))

@@ -174,12 +174,21 @@ def main() -> int:
     # aggregate (BroadcastNestedLoopJoin), not a per-iteration collect
     from graphrag_rs_spark.algos.pagerank import pagerank
     edges_pr = e2._cust_supp_edges(spark, sf_dir)
-    p = plan_of(pagerank(edges_pr, iterations=1))
+    # lazy variant exposes the per-iteration plan for inspection
+    # checkpoint_every > iterations keeps the periodic checkpoint out too
+    p = plan_of(pagerank(edges_pr, iterations=1, checkpoint_every=2,
+                         materialize_result=False))
     check("pagerank: dangling scalar broadcast into the iteration job",
           "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
           "expected broadcast cross-join of the 1-row dangling aggregate")
     check("pagerank: no Python", "BatchEvalPython" not in p
           and "MapInPandas" not in p, "")
+    # the DEFAULT return must be materialized (lazy-tail defect guard):
+    # a scan of checkpointed blocks, not a join tree the caller recomputes
+    pm = plan_of(pagerank(edges_pr, iterations=1))
+    check("pagerank: returned frame is materialized (no lazy join tail)",
+          "Join" not in pm and "Exchange" not in pm,
+          "expected Scan ExistingRDD over the final checkpoint")
     SECTIONS.append((
         "pagerank — one power iteration",
         "The dangling-mass sum and the node-count normalizer are 1-row "
