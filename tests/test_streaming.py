@@ -177,6 +177,62 @@ def test_sessionized_stream_equals_batch(spark, tmp_path):
                 for r in o_flat.collect()})
 
 
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    """Stop the stream mid-conversation and restart from the checkpoint:
+    buffered turns live in the state store, so the reassembled
+    conversation must be complete — the streaming analogue of the batch
+    kill-and-resume byte-identity guarantee."""
+    import datetime as dt
+
+    from graphrag_rs_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from graphrag_rs_spark.streaming.sessionize import (
+        assemble_conversations_stream,
+    )
+
+    def T(minutes):
+        return dt.datetime(2026, 1, 1, 12, 0, 0) + dt.timedelta(
+            minutes=minutes)
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    ck = str(tmp_path / "ck")
+    outdir = str(tmp_path / "out")
+
+    def start():
+        # file sink, not memory: only replayable sinks support restarting
+        # from a checkpoint
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(
+            os.path.join(indir, "*"))
+        closed = assemble_conversations_stream(stream, gap_minutes=5.0)
+        return (closed.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ck)
+                .outputMode("append").start())
+
+    _write_turns(spark, os.path.join(indir, "b1"), [
+        ("A", 0, "user", "first half", None, T(0)),
+        ("A", 1, "assistant", "still open", None, T(1)),
+    ])
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()     # conversation A is open, buffered only in state
+
+    _write_turns(spark, os.path.join(indir, "b2"), [
+        ("A", 2, "user", "second half", None, T(2)),
+        ("C", 0, "user", "tick", None, T(30)),   # closes A
+    ])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        got = {(r.conv_id, r.turn_idx): r.text
+               for r in spark.read.parquet(outdir).collect()}
+    finally:
+        q2.stop()
+    # all three turns present: 0-1 recovered from state, 2 from b2
+    assert got == {("A", 0): "first half", ("A", 1): "still open",
+                   ("A", 2): "second half"}
+
+
 def test_streaming_rollup_matches_batch_and_drops_late(spark, tmp_path):
     """Watermarked streaming rollup == batch rollup over on-time events;
     events older than the watermark are dropped, not merged."""
