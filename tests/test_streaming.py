@@ -233,6 +233,51 @@ def test_sessionize_state_survives_restart(spark, tmp_path):
                    ("A", 2): "second half"}
 
 
+def test_sessionize_giant_conversation(spark, tmp_path):
+    """Conversation-length skew: one 5000-turn conversation delivered
+    out of order across two batches reassembles completely and in
+    order (one state entry, not one hot partition)."""
+    import datetime as dt
+    import random
+
+    from graphrag_rs_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from graphrag_rs_spark.streaming.sessionize import (
+        assemble_conversations_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    turns = [("big", i, "user", f"turn {i}", None,
+              base + dt.timedelta(seconds=i)) for i in range(5000)]
+    rng = random.Random(13)
+    rng.shuffle(turns)   # arrival order != turn order
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    _write_turns(spark, os.path.join(indir, "b1"), turns[:2500])
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(
+        os.path.join(indir, "*"))
+    # watermark delay must cover the full shuffle span (5000 s) so no
+    # out-of-order turn is considered late
+    closed = assemble_conversations_stream(
+        stream, gap_minutes=2.0, watermark_delay="6000 seconds")
+    q = (closed.writeStream.format("memory").queryName("sess_big")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        _write_turns(spark, os.path.join(indir, "b2"), turns[2500:])
+        q.processAllAvailable()
+        clock = ("zz", 0, "user", "tick", None,
+                 base + dt.timedelta(days=1))
+        _write_turns(spark, os.path.join(indir, "b3"), [clock])
+        q.processAllAvailable()
+        got = [(r.turn_idx, r.text) for r in spark.sql(
+            "select * from sess_big where conv_id = 'big'").collect()]
+    finally:
+        q.stop()
+    assert got == [(i, f"turn {i}") for i in range(5000)]
+
+
 def test_streaming_rollup_matches_batch_and_drops_late(spark, tmp_path):
     """Watermarked streaming rollup == batch rollup over on-time events;
     events older than the watermark are dropped, not merged."""
