@@ -8,6 +8,13 @@
     # Iceberg runtime jar + catalog confs on the submit line, DEPLOY.md):
     spark-submit ... job.py --table lake.raw.transcripts --workdir ...
 
+    # Live turn-event feed (turns arrive one at a time, conversations
+    # span micro-batches): stateful sessionization assembles complete
+    # conversations, then the same batch stages index each micro-batch;
+    # --stream-once drains what's present and exits (omit for 24/7):
+    spark-submit ... job.py --stream-dir /lake/turn_events \
+        --workdir /tmp/graphrag_out --stream-gap-minutes 30 --stream-once
+
 Runs transcripts → chunks → entities → triples → canonicalize →
 materialize with per-stage parquet outputs + per-partition lineage in
 {workdir}/_checkpoints (see stages/checkpoint.py).  A killed run rerun
@@ -27,10 +34,17 @@ def main() -> None:
     src.add_argument("--input", help="parquet path of transcripts")
     src.add_argument("--table", help="catalog table (e.g. Iceberg) "
                                      "of transcripts")
+    src.add_argument("--stream-dir", help="directory of turn-event "
+                     "parquet files to index as a stateful stream")
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--run-id", default="run0")
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--master", default=None)
+    parser.add_argument("--stream-gap-minutes", type=float, default=30.0,
+                        help="session gap closing a streamed conversation")
+    parser.add_argument("--stream-once", action="store_true",
+                        help="drain available files and exit "
+                             "(trigger availableNow)")
     args = parser.parse_args()
 
     from graphrag_rs_spark.session import get_spark
@@ -38,6 +52,31 @@ def main() -> None:
     from graphrag_rs_spark.stages.pipeline import run_pipeline_checkpointed
 
     spark = get_spark("graphrag_rs_spark.job", master=args.master)
+
+    if args.stream_dir:
+        import os
+        from graphrag_rs_spark.streaming.sessionize import (
+            stream_sessionized_index,
+        )
+        t0 = time.time()
+        q = stream_sessionized_index(
+            spark, args.stream_dir,
+            out_dir=os.path.join(args.workdir, "tables"),
+            checkpoint_dir=os.path.join(args.workdir, "_stream_ck"),
+            cfg=DEFAULT_CONFIG,
+            gap_minutes=args.stream_gap_minutes,
+            trigger_once=args.stream_once,
+        )
+        q.awaitTermination()
+        print(json.dumps({
+            "status": "ok", "mode": "stream",
+            "elapsed_sec": round(time.time() - t0, 2),
+            "last_progress": q.lastProgress and {
+                k: q.lastProgress.get(k)
+                for k in ("batchId", "numInputRows")},
+        }))
+        spark.stop()
+        return
     t0 = time.time()
     transcripts = (spark.read.table(args.table) if args.table
                    else spark.read.parquet(args.input))
