@@ -188,8 +188,12 @@ def leiden_communities(
         .distinct()
         .join(cc_labels.withColumnRenamed("node", "src"), "src")
     )
-    # one row per node (carrying its edges' endpoints) per component
-    edge_rows = edges.select("component", "src", "dst")
+    # one row per node (carrying its edges' endpoints) per component.
+    # Eager checkpoint: the guard aggregate below runs as its own job at
+    # build time and the exact/LPA paths scan the same rows again at
+    # evaluation — uncached, the distinct+join prefix would run 2-3×
+    edge_rows = edges.select("component", "src", "dst") \
+        .localCheckpoint(eager=True)
     node_rows = cc_labels.select("component",
                                  F.col("node").alias("src"),
                                  F.lit(None).cast("string").alias("dst"))

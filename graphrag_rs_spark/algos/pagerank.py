@@ -39,8 +39,13 @@ def pagerank(
     # and `dangling_nodes` all scan it, and callers routinely pass an
     # unmaterialized join (e.g. the bench's orders⋈lineitem graph) that
     # would otherwise recompute once per consumer (measured: ~40% of
-    # query wall at sf0.1)
-    edges = edges.persist()
+    # query wall at sf0.1).  Skip when the caller already persisted —
+    # persist/unpersist is not ref-counted, so unpersisting here would
+    # silently evict a cache the caller still owns.
+    own_edges_cache = edges.storageLevel.useMemory is False \
+        and edges.storageLevel.useDisk is False
+    if own_edges_cache:
+        edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -146,7 +151,8 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
 
     out = ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))
-    edges.unpersist()
+    if own_edges_cache:
+        edges.unpersist()
     nodes.unpersist()
     norm_edges.unpersist()
     dangling_nodes.unpersist()

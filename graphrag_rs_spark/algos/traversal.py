@@ -143,8 +143,11 @@ def query_focused_subgraph(
     two different seeds' balls is excluded unless one ball covers both
     endpoints, hence the per-seed reach, not the pooled one).
     """
+    # eager checkpoint, not persist: `reach` feeds both outputs of the
+    # returned pair and a per-call persist is never unpersisted (leaked
+    # CacheManager entry); checkpointed blocks free on GC
     reach = bfs_from_each(edges, seeds, max_depth=expansion_hops,
-                          directed=directed).persist()
+                          directed=directed).localCheckpoint(eager=True)
     nodes = reach.groupBy("node").agg(F.min("level").alias("level"))
     per_seed = reach.select("source", "node")
     sub_edges = (

@@ -128,7 +128,12 @@ def evolution_metrics(edges: DataFrame, start: int, end: int,
     not 2 — node_degree counts edges, temporal.rs:101-107)."""
     spark = edges.sparkSession
     nb = _n_buckets(start, end, granularity)
-    be = _bucketed_edges(edges, start, end, granularity).persist()
+    # eager checkpoint, not persist: the returned plan scans `be` twice
+    # and a build-time unpersist would uncache it before evaluation,
+    # while a leaked persist pins CacheManager entries per call —
+    # checkpointed blocks free themselves when the frame is GC'd
+    be = _bucketed_edges(edges, start, end, granularity) \
+        .localCheckpoint(eager=True)
     per_edge = be.groupBy("bucket").agg(F.count(F.lit(1)).alias("edge_count"))
     ends = be.select(
         "bucket", F.explode(F.array_distinct(F.array("src", "dst")))
@@ -220,7 +225,9 @@ def temporal_centrality(edges: DataFrame, node: str, start: int, end: int,
     (0 when the bucket has ≤ 1 node) → (timestamp, centrality)."""
     spark = edges.sparkSession
     nb = _n_buckets(start, end, granularity)
-    be = _bucketed_edges(edges, start, end, granularity).persist()
+    # eager checkpoint, not persist — same rationale as evolution_metrics
+    be = _bucketed_edges(edges, start, end, granularity) \
+        .localCheckpoint(eager=True)
     ends = be.select(
         "bucket", F.explode(F.array_distinct(F.array("src", "dst")))
         .alias("node"))

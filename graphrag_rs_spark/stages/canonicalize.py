@@ -78,7 +78,16 @@ def _blocked_keys(entities: DataFrame) -> DataFrame:
     return keyed.withColumn("_bn", block_n)
 
 
-def dropped_block_stats(entities: DataFrame) -> DataFrame:
+def shared_blocked_keys(entities: DataFrame) -> DataFrame:
+    """A lazily-checkpointed `_blocked_keys` frame for callers that
+    consume blocking twice (candidate_pairs + dropped_block_stats in
+    run_pipeline): the explode + window-count shuffle materializes once
+    on first use instead of once per consumer."""
+    return _blocked_keys(entities).localCheckpoint(eager=False)
+
+
+def dropped_block_stats(entities: DataFrame,
+                        keyed: DataFrame | None = None) -> DataFrame:
     """→ one row per OVERSIZED blocking bucket (entity_type, block_key,
     n_entities) that `candidate_pairs` excludes from merging — the
     "counted, never silently" half of the block-size cap.  A hot token
@@ -86,18 +95,19 @@ def dropped_block_stats(entities: DataFrame) -> DataFrame:
     from merging; pipelines surface these counts in the checkpoint
     lineage so the exemption is observable run-to-run."""
     return (
-        _blocked_keys(entities)
+        (_blocked_keys(entities) if keyed is None else keyed)
         .filter(F.col("_bn") > MAX_BLOCK_SIZE)
         .groupBy("entity_type", "block_key")
         .agg(F.count(F.lit(1)).alias("n_entities"))
     )
 
 
-def candidate_pairs(entities: DataFrame) -> DataFrame:
+def candidate_pairs(entities: DataFrame,
+                    keyed: DataFrame | None = None) -> DataFrame:
     """Blocked candidate (entity_id1 < entity_id2) pairs with names/types."""
     # cap pathological blocks (e.g. token "inc" across every org); the
     # dropped buckets are observable via `dropped_block_stats`
-    keyed = _blocked_keys(entities) \
+    keyed = (_blocked_keys(entities) if keyed is None else keyed) \
         .filter(F.col("_bn") <= MAX_BLOCK_SIZE).drop("_bn")
 
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -149,15 +159,17 @@ def canonical_map(
     entities: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     extra_edges: DataFrame | None = None,
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """→ (entity_id, canonical_id) for EVERY entity (identity rows included).
 
     `extra_edges` (src, dst) unions additional merge evidence into the
     closure — e.g. L4 semantic pairs from
     `stages/semantic_links.semantic_merge_pairs`; CC makes the combined
-    relation's transitive closure order-independent.
+    relation's transitive closure order-independent.  `keyed` optionally
+    shares a `shared_blocked_keys` frame with `dropped_block_stats`.
     """
-    pairs = candidate_pairs(entities)
+    pairs = candidate_pairs(entities, keyed=keyed)
     edges = (
         score_pairs(pairs, cfg)
         .filter(F.col("sim") >= F.lit(float(cfg.link_min_similarity)))

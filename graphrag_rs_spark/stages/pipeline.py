@@ -66,7 +66,10 @@ def run_pipeline(
     # the persisted chunk_entities, and caching 10⁷+ wide rows costs more
     # than both downstream recomputes combined (measured)
 
-    canon = canonicalize.canonical_map(entities, cfg).persist()
+    # one blocking pass shared by canonical_map and dropped_block_stats
+    # (lazy checkpoint: materializes on first use, both consumers reuse)
+    keyed = canonicalize.shared_blocked_keys(entities)
+    canon = canonicalize.canonical_map(entities, cfg, keyed=keyed).persist()
     # localCheckpoint, NOT persist: building the columnar in-memory cache
     # for this string-heavy 10⁷-row table costs ~2.4× the compute itself
     # (measured 92s cache build vs 39s checkpoint at 200k convs); the
@@ -92,7 +95,8 @@ def run_pipeline(
         canonical_triples=triples_mod.triples_with_context(canon_flat, cfg),
         canonical_entities=canon_entities,
         communities=comms,
-        dropped_blocks=canonicalize.dropped_block_stats(entities),
+        dropped_blocks=canonicalize.dropped_block_stats(entities,
+                                                        keyed=keyed),
     )
 
 

@@ -45,7 +45,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Output = input shape (flat turns), plus the close reason for observability.
+# Output = exactly the input shape (flat turns), so it composes with
+# process_increment unchanged.
 OUTPUT_SCHEMA = StructType([
     StructField("conv_id", StringType()),
     StructField("turn_idx", IntegerType()),
@@ -69,21 +70,32 @@ STATE_SCHEMA = StructType([
 _US = 1_000_000
 
 
-def _emit(state_row: tuple) -> pd.DataFrame:
-    """State tuple → flat turn rows in stable (turn_idx) order."""
+def _emit(state_row: tuple, tz: str) -> pd.DataFrame:
+    """State tuple → flat turn rows in stable (turn_idx) order.
+
+    ts_us holds TRUE epoch micros; Arrow hands pandas timestamps back to
+    Spark as session-zone-naive, so convert epoch → `tz`-local naive."""
     idx, role, text, tool, ts_us = state_row
     order = sorted(range(len(idx)), key=lambda i: idx[i])
+    ts = (pd.to_datetime([ts_us[i] for i in order], unit="us", utc=True)
+          .tz_convert(tz).tz_localize(None))
     return pd.DataFrame({
         "turn_idx": [idx[i] for i in order],
         "role": [role[i] for i in order],
         "text": [text[i] for i in order],
         "tool": [tool[i] for i in order],
-        "ts": pd.to_datetime([ts_us[i] for i in order], unit="us"),
+        "ts": ts,
     })
 
 
-def _make_fn(gap_us: int):
-    """Build the per-group state function (gap baked in, picklable)."""
+def _make_fn(gap_us: int, tz: str):
+    """Build the per-group state function (gap + session tz baked in).
+
+    `tz` is the Spark session timezone: Arrow delivers TimestampType
+    columns to pandas as naive values LOCALIZED to it, while
+    `getCurrentWatermarkMs`/`setTimeoutTimestamp` speak true epoch — so
+    ingest re-localizes to true epoch before comparing (a naive mix is
+    only correct when the session runs UTC)."""
 
     def fn(
         key: Tuple[str],
@@ -93,7 +105,7 @@ def _make_fn(gap_us: int):
         (conv_id,) = key
         if state.hasTimedOut:
             # Watermark passed last_ts + gap: the conversation is closed.
-            out = _emit(state.get)
+            out = _emit(state.get, tz)
             state.remove()
             out.insert(0, "conv_id", conv_id)
             yield out
@@ -115,7 +127,11 @@ def _make_fn(gap_us: int):
                 text.append(r.text)
                 tool.append(None if r.tool is None or pd.isna(r.tool)
                             else r.tool)
-                ts_us.append(int(pd.Timestamp(r.ts).value // 1000))
+                ts_us.append(int(
+                    pd.Timestamp(r.ts)
+                    .tz_localize(tz, ambiguous=True,
+                                 nonexistent="shift_forward")
+                    .value // 1000))
         state.update((idx, role, text, tool, ts_us))
         # Close when the stream's event clock is `gap` past the newest
         # buffered turn.  The timeout must sit strictly beyond the
@@ -150,11 +166,13 @@ def assemble_conversations_stream(
     """
     delay = watermark_delay or f"{int(gap_minutes * 60)} seconds"
     gap_us = int(gap_minutes * 60) * _US
+    tz = turns.sparkSession.conf.get(
+        "spark.sql.session.timeZone") or "UTC"
     return (
         turns.withWatermark("ts", delay)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_fn(gap_us),
+            _make_fn(gap_us, tz),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -177,6 +177,63 @@ def test_sessionized_stream_equals_batch(spark, tmp_path):
                 for r in o_flat.collect()})
 
 
+def test_sessionize_non_utc_session_timezone(spark, tmp_path):
+    """Gap timeouts must be computed in true epoch even when the session
+    timezone is not UTC (Arrow hands the UDF session-local naive
+    timestamps while the watermark API speaks epoch millis)."""
+    import datetime as dt
+
+    from graphrag_rs_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from graphrag_rs_spark.streaming.sessionize import (
+        assemble_conversations_stream,
+    )
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+
+    def T(minutes):
+        return dt.datetime(2026, 1, 1, 12, 0, 0) + dt.timedelta(
+            minutes=minutes)
+
+    def write(name, rows):
+        (s2.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp_path / "in" / name)))
+
+    os.makedirs(str(tmp_path / "in"))
+    write("b1", [
+        ("A", 0, "user", "hello a0", None, T(0)),
+        ("A", 1, "assistant", "reply a1", None, T(1)),
+    ])
+    stream = s2.readStream.schema(TRANSCRIPT_SCHEMA).parquet(
+        str(tmp_path / "in" / "*"))
+    closed = assemble_conversations_stream(stream, gap_minutes=5.0)
+    q = (closed.writeStream.format("memory").queryName("sess_tz")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # in-gap turn + a clock 3 minutes later: must NOT close A yet
+        # (a naive-local mix closes it here — local epoch lags true
+        # epoch by 5h, degenerating the timeout to watermark+1s)
+        write("b2", [("A", 2, "user", "followup a2", None, T(3)),
+                     ("B", 0, "user", "tick", None, T(6))])
+        q.processAllAvailable()
+        write("b2x", [("B", 1, "user", "tick", None, T(7))])
+        q.processAllAvailable()
+        assert s2.sql("select count(*) from sess_tz").first()[0] == 0
+        # now advance past the gap: A closes with all three turns
+        write("b3", [("C", 0, "user", "tock", None, T(60))])
+        q.processAllAvailable()
+        got = {(r.conv_id, r.turn_idx): r.ts
+               for r in s2.sql("select * from sess_tz").collect()}
+    finally:
+        q.stop()
+    assert {k for k in got if k[0] == "A"} == {("A", 0), ("A", 1),
+                                              ("A", 2)}
+    # byte-identical timestamp round-trip in the non-UTC zone
+    assert got[("A", 2)] == T(3)
+
+
 def test_sessionize_state_survives_restart(spark, tmp_path):
     """Stop the stream mid-conversation and restart from the checkpoint:
     buffered turns live in the state store, so the reassembled
