@@ -165,6 +165,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), "doc_id", "text", bits=32)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate GROUPS: LSH collision edges closed by CC, min
+    doc_id as the deterministic canonical survivor — the "keep one doc
+    per dup group" step of a training-data pipeline.  The oracle replays
+    the full chain: shingles → minhash → bands → collision pairs →
+    recursive-CTE components."""
+    from graphrag_rs_spark.operators.dedup import near_dup_clusters
+    return near_dup_clusters(_docs(spark, sf_dir), "doc_id", "text",
+                             k=5, num_hashes=16, bands=8)
+
+
 def q_token_stats(spark, sf_dir):
     from graphrag_rs_spark.operators.textstats import token_stats
     return token_stats(_docs(spark, sf_dir), "doc_id", "text")
@@ -654,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -894,6 +906,28 @@ def oracle_sql() -> dict[str, str]:
           on a.band = b.band and a.band_key = b.band_key
           and a.doc_id < b.doc_id
         group by 1, 2
+    """
+
+    sql["dedup_clusters"] = f"""
+        with {_sig_cte},
+        bands as (
+          select doc_id, (hash_idx // 2) as band,
+                 {h.format(x="string_agg(lpad(hash_idx::VARCHAR, 2, '0') || ':' || minhash::VARCHAR, ',' order by lpad(hash_idx::VARCHAR, 2, '0') || ':' || minhash::VARCHAR)")} as band_key
+          from sig group by doc_id, hash_idx // 2),
+        e as (select distinct a.doc_id as a, b.doc_id as b
+              from bands a join bands b
+                on a.band = b.band and a.band_key = b.band_key
+                and a.doc_id < b.doc_id),
+        bi as (select a, b from e union select b as a, a as b from e),
+        rec as (
+          with recursive r(node, reach) as (
+            select doc_id, doc_id from documents
+            union
+            select r.node, bi.b from r join bi on bi.a = r.reach)
+          select node, min(reach) as cluster_id from r group by node)
+        select node as doc_id, cluster_id,
+               (node = cluster_id)::INT as is_canonical
+        from rec
     """
 
     sql["dedup_simhash"] = f"""

@@ -95,7 +95,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
     # --- operator suite over the driver-provided sf tables ---
     q = entry.queries()
     for name in ("dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
-                 "dedup_simhash", "token_stats", "quality_scores",
+                 "dedup_clusters", "dedup_simhash", "token_stats",
+                 "quality_scores",
                  "language_id", "fingerprints", "tfidf_topk", "bm25",
                  "embedding_knn", "ann_ivf", "embedding_centroids",
                  "graph_degree",

@@ -233,3 +233,44 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
             .otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_bands: int = 1,
+) -> DataFrame:
+    """→ (doc_id, cluster_id, is_canonical): near-duplicate GROUPS.
+
+    The standard "pick one survivor per duplicate group" training-data
+    step: LSH collision pairs (banded, never all-pairs) become an edge
+    set, connected components closes them into clusters (two docs sharing
+    a chain of collisions dedup together even if they never collide
+    directly), and the cluster's min doc_id is the deterministic
+    canonical survivor — filter `is_canonical` to materialize the
+    deduplicated corpus.  `min_bands` raises the collision bar (1 = any
+    matching band, the classic LSH contract).
+
+    Scale posture: candidate generation is the bucketed LSH join
+    (collisions only); the closure is the same small-star/large-star CC
+    as canonicalization — no stage is quadratic in the corpus.
+    """
+    from graphrag_rs_spark.algos.cc import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, k, num_hashes, bands)
+    if min_bands > 1:
+        pairs = pairs.filter(F.col("n_bands") >= min_bands)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    comps = connected_components(
+        edges, nodes=docs.select(F.col(id_col).alias("node")))
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int")
+        .alias("is_canonical"),
+    )

@@ -47,6 +47,18 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 4) not in pairs
 
 
+def test_near_dup_clusters(docs):
+    rows = {r["doc_id"]: r
+            for r in dedup.near_dup_clusters(docs, bands=8).collect()}
+    # identical docs 1,2 and near-dup 3 close into one cluster with the
+    # min doc_id canonical; unrelated docs are their own singletons
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == 1
+    assert rows[3]["cluster_id"] == 1
+    assert rows[1]["is_canonical"] == 1
+    assert rows[2]["is_canonical"] == 0 and rows[3]["is_canonical"] == 0
+    assert rows[4]["cluster_id"] == 4 and rows[4]["is_canonical"] == 1
+
+
 def test_minhash_signature_shape(docs):
     sig = dedup.minhash_signatures(docs, num_hashes=16).collect()
     assert len(sig) == 5 * 16
