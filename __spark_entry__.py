@@ -653,6 +653,43 @@ def q_rograg_fuzzy(spark, sf_dir):
                       "match_type")
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (training-pipeline op):
+    key-stable hash-bucket thresholds, pure projection, no shuffle.
+    Every row of a key lands in one split — no train/test leakage."""
+    from graphrag_rs_spark.operators.sampling import hash_bucket, hash_split
+    d = _docs(spark, sf_dir).select("doc_id")
+    out = hash_split(d, "doc_id",
+                     weights={"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed="split")
+    return out.select("doc_id", hash_bucket("doc_id", "split")
+                      .alias("bucket"), "split")
+
+
+def q_sample_fraction(spark, sf_dir):
+    """Deterministic 20% corpus sample: nested (larger fractions are
+    supersets) and stable under corpus growth — incremental-refresh-safe."""
+    from graphrag_rs_spark.operators.sampling import (deterministic_sample,
+                                                      hash_bucket)
+    d = _docs(spark, sf_dir).select("doc_id")
+    out = deterministic_sample(d, "doc_id", fraction=0.2, seed="sample")
+    return out.select("doc_id",
+                      hash_bucket("doc_id", "sample").alias("bucket"))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language deterministic sampling (language-balanced corpus):
+    when-chain threshold per stratum — a map-side filter, no join."""
+    from graphrag_rs_spark.operators.sampling import (hash_bucket,
+                                                      stratified_sample)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = stratified_sample(d, strata="lang", key="doc_id",
+                            fractions={"en": 0.5, "de": 0.25},
+                            default_fraction=0.1, seed="strat")
+    return out.select("doc_id", "lang",
+                      hash_bucket("doc_id", "strat").alias("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -702,6 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
         "rograg_fuzzy": q_rograg_fuzzy,
+        "sample_split": q_sample_split,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1751,4 +1791,32 @@ def oracle_sql() -> dict[str, str]:
         select id, content, round(similarity, 6) as similarity, match_type
         from cand order by similarity desc, id asc limit 25
     """
+    # Sampling/split oracles: the bucket is the same 60-bit md5 prefix mod
+    # 1e6 the Spark side computes (operators/sampling.py), replayed verbatim.
+    _bucket = ("(" + h.format(x="'{seed}:' || doc_id") + " % 1000000)")
+    sql["sample_split"] = f"""
+        select doc_id,
+               {_bucket.format(seed='split')}::BIGINT as bucket,
+               case when {_bucket.format(seed='split')} < 800000 then 'train'
+                    when {_bucket.format(seed='split')} < 900000 then 'val'
+                    else 'test' end as split
+        from documents
+    """
+
+    sql["sample_fraction"] = f"""
+        select doc_id, {_bucket.format(seed='sample')}::BIGINT as bucket
+        from documents
+        where {_bucket.format(seed='sample')} < 200000
+    """
+
+    sql["sample_stratified"] = f"""
+        select doc_id, lang,
+               {_bucket.format(seed='strat')}::BIGINT as bucket
+        from documents
+        where {_bucket.format(seed='strat')} <
+              case lang when 'en' then 500000
+                        when 'de' then 250000
+                        else 100000 end
+    """
+
     return sql
