@@ -653,6 +653,14 @@ def q_rograg_fuzzy(spark, sf_dir):
                       "match_type")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (dup-line/word fractions, top-bigram
+    char coverage) — the standard public curation heuristics for web-scale
+    training corpora, as balanced explode+agg shuffles."""
+    from graphrag_rs_spark.operators.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test assignment (training-pipeline op):
     key-stable hash-bucket thresholds, pure projection, no shuffle.
@@ -739,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
         "rograg_fuzzy": q_rograg_fuzzy,
+        "repetition_stats": q_repetition_stats,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1791,6 +1800,59 @@ def oracle_sql() -> dict[str, str]:
         select id, content, round(similarity, 6) as similarity, match_type
         from cand order by similarity desc, id asc limit 25
     """
+    sql["repetition_stats"] = f"""
+        with base as (
+          select doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                                            s -> trim(s)),
+                             s -> s <> '') as lines,
+                 {_TOKS} as toks
+          from documents),
+        lc as (
+          select doc_id, line, count(*) as cnt
+          from (select doc_id, unnest(lines) as line from base)
+          group by doc_id, line),
+        ls as (
+          select doc_id,
+                 sum(cnt) as n_lines,
+                 sum(case when cnt > 1 then cnt else 0 end) as dup_lines,
+                 sum(cnt * length(line)) as line_chars,
+                 sum(case when cnt > 1 then cnt * length(line) else 0 end)
+                   as dup_line_chars
+          from lc group by doc_id),
+        ws as (
+          select doc_id,
+                 len(toks) as n_toks,
+                 len(list_distinct(toks)) as n_distinct_toks,
+                 coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                   as tok_chars,
+                 [toks[i] || ' ' || toks[i+1]
+                  for i in generate_series(1, greatest(len(toks)-1, 0))]
+                   as bigrams
+          from base),
+        bc as (
+          select doc_id, bg, count(*) as cnt
+          from (select doc_id, unnest(bigrams) as bg from ws)
+          group by doc_id, bg),
+        tb as (select doc_id, max(cnt * (length(bg) - 1))
+                 as top_bigram_chars
+               from bc group by doc_id)
+        select ws.doc_id,
+               coalesce(ls.n_lines, 0)::BIGINT as n_lines,
+               round(coalesce(ls.dup_lines, 0)
+                     / greatest(coalesce(ls.n_lines, 0), 1), 6)
+                 as dup_line_frac,
+               round(coalesce(ls.dup_line_chars, 0)
+                     / greatest(coalesce(ls.line_chars, 0), 1), 6)
+                 as dup_line_char_frac,
+               round((ws.n_toks - ws.n_distinct_toks)
+                     / greatest(ws.n_toks, 1), 6) as dup_word_frac,
+               round(coalesce(tb.top_bigram_chars, 0)
+                     / greatest(ws.tok_chars, 1), 6)
+                 as top_bigram_char_frac
+        from ws left join ls using (doc_id) left join tb using (doc_id)
+    """
+
     # Sampling/split oracles: the bucket is the same 60-bit md5 prefix mod
     # 1e6 the Spark side computes (operators/sampling.py), replayed verbatim.
     _bucket = ("(" + h.format(x="'{seed}:' || doc_id") + " % 1000000)")

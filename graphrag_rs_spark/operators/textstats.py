@@ -171,3 +171,97 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1):
+
+    → (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       dup_word_frac, top_bigram_char_frac), all fractions rounded 6dp.
+
+      dup_line_frac        fraction of lines occurring more than once
+      dup_line_char_frac   fraction of line characters inside such lines
+      dup_word_frac        1 - distinct/total word tokens
+      top_bigram_char_frac fraction of token characters covered by the
+                           most frequent word 2-gram
+
+    Shape at scale: two explodes (lines, bigrams) each aggregated on a
+    composite key — balanced shuffles, no per-doc quadratic work, so a
+    pathological 10^6-line document costs O(L log L) across the cluster
+    rather than O(L^2) on one task. High-duplication training shards are
+    exactly where this runs, so that bound matters.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.transform(F.split(F.col(text_col), "\n"),
+                             lambda s: F.trim(s)),
+                 lambda s: s != "").alias("lines"),
+        F.expr(_TOKENIZE.format(c=text_col)).alias("toks"),
+    )
+
+    # --- line duplication: explode -> count per (doc, line) -> fold
+    line_counts = (
+        base.select("doc_id", F.explode_outer("lines").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # explode_outer emits one null-line row for empty docs: every sum
+    # below must gate on line IS NOT NULL so such docs count 0 lines.
+    has_line = F.col("line").isNotNull()
+    is_dup = has_line & (F.col("cnt") > 1)
+    line_stats = line_counts.groupBy("doc_id").agg(
+        F.sum(F.when(has_line, F.col("cnt")).otherwise(0)).alias("n_lines"),
+        F.sum(F.when(is_dup, F.col("cnt")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.when(has_line, F.col("cnt") * F.length("line")).otherwise(0))
+        .alias("line_chars"),
+        F.sum(F.when(is_dup, F.col("cnt") * F.length("line")).otherwise(0))
+        .alias("dup_line_chars"),
+    )
+
+    # --- word-token duplication + top-bigram coverage
+    word_stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_toks"),
+        F.aggregate("toks", F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)).alias("tok_chars"),
+        # sequence(1, 0) steps DOWN to [1, 0] in Spark, so <2-token docs
+        # must short-circuit to an empty array before indexing
+        F.expr("case when size(toks) < 2 then array()"
+               " else transform(sequence(1, size(toks) - 1),"
+               "   i -> concat(element_at(toks, i), ' ',"
+               "               element_at(toks, i + 1))) end")
+        .alias("bigrams"),
+    )
+    bigram_counts = (
+        word_stats.select("doc_id", F.explode_outer("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # chars covered by a bigram's occurrences = cnt * (len(bg) - 1): the
+    # joining space in the concat is not a source character.
+    top_bigram = bigram_counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("bg").isNotNull(),
+                     F.col("cnt") * (F.length("bg") - 1)).otherwise(0))
+        .alias("top_bigram_chars"))
+
+    out = (
+        word_stats.select("doc_id", "n_toks", "n_distinct_toks", "tok_chars")
+        .join(line_stats, "doc_id", "left")
+        .join(top_bigram, "doc_id", "left")
+    )
+    nz = lambda c: F.greatest(c, F.lit(1))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint")
+        .alias("n_lines"),
+        F.round(F.coalesce(F.col("dup_lines"), F.lit(0))
+                / nz(F.col("n_lines")), 6).alias("dup_line_frac"),
+        F.round(F.coalesce(F.col("dup_line_chars"), F.lit(0))
+                / nz(F.col("line_chars")), 6).alias("dup_line_char_frac"),
+        F.round((F.col("n_toks") - F.col("n_distinct_toks"))
+                / nz(F.col("n_toks")), 6).alias("dup_word_frac"),
+        F.round(F.coalesce(F.col("top_bigram_chars"), F.lit(0))
+                / nz(F.col("tok_chars")), 6).alias("top_bigram_char_frac"),
+    )

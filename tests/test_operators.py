@@ -344,3 +344,40 @@ def test_temporal_boundary_edge_in_two_buckets(spark):
     rows = {r["timestamp"]: r["edge_count"] for r in evolution_metrics(
         edges, 0, 100, 50).collect()}
     assert rows == {0: 1, 50: 1, 100: 0}
+
+
+def test_repetition_stats_gopher_filters(spark):
+    rows = [
+        # 4 lines, "dup dup" twice -> 2/4 dup lines; token 'dup' repeats
+        ("d1", "dup dup\nunique line one\ndup dup\nunique line two"),
+        # no repetition at all
+        ("d2", "alpha beta gamma\ndelta epsilon"),
+        # single line, heavy bigram repetition: "spam ham" dominates
+        ("d3", "spam ham spam ham spam ham spam ham"),
+        # empty / whitespace-only doc
+        ("d4", "   \n  \n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_stats(df).collect()}
+
+    d1 = out["d1"]
+    assert d1["n_lines"] == 4
+    assert d1["dup_line_frac"] == 0.5
+    # dup-line chars: 2 * len("dup dup") = 14 of 14 + 15 + 15 = 44
+    assert d1["dup_line_char_frac"] == round(14 / 44, 6)
+    # tokens: dup x4, unique x2, line x2, one, two -> 10 toks, 5 distinct
+    assert d1["dup_word_frac"] == 0.5
+
+    d2 = out["d2"]
+    assert d2["dup_line_frac"] == 0.0
+    assert d2["dup_word_frac"] == 0.0
+
+    d3 = out["d3"]
+    # 8 tokens of 4 chars = 32 chars; "spam ham" occurs 4 times -> 4*8=32
+    assert d3["top_bigram_char_frac"] == 1.0
+
+    d4 = out["d4"]
+    assert d4["n_lines"] == 0
+    assert d4["dup_line_frac"] == 0.0
+    assert d4["top_bigram_char_frac"] == 0.0
