@@ -661,6 +661,19 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: train-split docs scored for word-3-gram
+    overlap against the test split (the eval side is broadcast — the
+    whole check is a map-side semi-join over the corpus scan)."""
+    from graphrag_rs_spark.operators.contamination import ngram_contamination
+    from graphrag_rs_spark.operators.sampling import hash_split
+    d = hash_split(_docs(spark, sf_dir).select("doc_id", "text"),
+                   "doc_id", seed="split")
+    corpus = d.where(F.col("split") == "train").drop("split")
+    bench = d.where(F.col("split") == "test").drop("split")
+    return ngram_contamination(corpus, bench, n=3)
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test assignment (training-pipeline op):
     key-stable hash-bucket thresholds, pure projection, no shuffle.
@@ -748,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "rograg_fuzzy": q_rograg_fuzzy,
         "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1851,6 +1865,45 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(ws.tok_chars, 1), 6)
                  as top_bigram_char_frac
         from ws left join ls using (doc_id) left join tb using (doc_id)
+    """
+
+    sql["contamination"] = f"""
+        with base as (
+          select doc_id,
+                 case when ({h.format(x="'split:' || doc_id")} % 1000000)
+                        < 800000 then 'train'
+                      when ({h.format(x="'split:' || doc_id")} % 1000000)
+                        < 900000 then 'val'
+                      else 'test' end as split,
+                 {_TOKS} as toks
+          from documents),
+        grams as (
+          select doc_id, split,
+                 unnest(case when len(toks) >= 3 then
+                   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in generate_series(1, len(toks) - 2)]
+                   else []::VARCHAR[] end) as gram
+          from base),
+        gh as (select distinct doc_id, split,
+                      {h.format(x='gram')} as gram_h
+               from grams),
+        bench as (select distinct gram_h from gh where split = 'test'),
+        corpus as (select doc_id, gram_h from gh where split = 'train'),
+        hits as (select doc_id, count(*) as n_contaminated
+                 from corpus
+                 where gram_h in (select gram_h from bench)
+                 group by doc_id),
+        totals as (select doc_id, count(*) as n_ngrams
+                   from corpus group by doc_id)
+        select d.doc_id,
+               coalesce(t.n_ngrams, 0)::BIGINT as n_ngrams,
+               coalesce(c.n_contaminated, 0)::BIGINT as n_contaminated,
+               round(coalesce(c.n_contaminated, 0)
+                     / greatest(coalesce(t.n_ngrams, 0), 1), 6)
+                 as contamination_frac
+        from (select doc_id from base where split = 'train') d
+        left join totals t using (doc_id)
+        left join hits c using (doc_id)
     """
 
     # Sampling/split oracles: the bucket is the same 60-bit md5 prefix mod

@@ -1,0 +1,93 @@
+"""Benchmark-contamination detection for training corpora.
+
+The standard decontamination check before training on web-scale data:
+flag corpus documents sharing word n-grams with an evaluation/benchmark
+set (the public method used by GPT-3 §C / PaLM / Llama dataset cards,
+typically with 8-13-gram overlap).
+
+Shape at scale: the benchmark side is an eval suite — thousands of
+documents, millions of n-grams at most — while the corpus is the 100 TB
+side. Distinct benchmark n-gram hashes are therefore BROADCAST, and the
+whole check is one map-side semi-join over the corpus scan: no shuffle
+of corpus data at all. Above `broadcast_threshold` distinct benchmark
+n-grams the hint is dropped and AQE picks the strategy.
+
+No reference analogue (graphrag-rs indexes one trusted corpus); this is
+part of the training-pipeline family the task brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graphrag_rs_spark.functions.hashing import h60, tokens
+
+# Above this many distinct benchmark n-grams, stop hinting broadcast and
+# let AQE decide (≈ 8 bytes × 50M keys ≈ 400 MB hashed relation).
+BROADCAST_MAX_NGRAMS = 50_000_000
+
+
+def _ngram_hashes(df: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """→ (doc_id, gram_h): distinct h60 of each word n-gram per doc."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j)
+                               for j in range(n)])))
+    return (df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+            .select("doc_id", F.explode("grams").alias("gram"))
+            .select("doc_id", h60("gram").alias("gram_h"))
+            .distinct())
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        n: int = 8,
+                        broadcast_threshold: int = BROADCAST_MAX_NGRAMS,
+                        ) -> DataFrame:
+    """→ (doc_id, n_ngrams, n_contaminated, contamination_frac) per
+    corpus doc; frac is over the doc's DISTINCT n-grams, rounded 6dp.
+
+    Docs with fewer than n tokens have zero n-grams and report frac 0 —
+    they cannot leak an n-gram they don't contain.
+    """
+    corpus_grams = _ngram_hashes(corpus, id_col, text_col, n)
+    bench_grams = (_ngram_hashes(benchmark, bench_id_col, bench_text_col, n)
+                   .select("gram_h").distinct())
+    if broadcast_threshold > 0:
+        # counting the benchmark side is one cheap job on the SMALL input
+        # (re-derived rather than persisted — no cache residency to manage);
+        # a guaranteed-broadcast hint on an oversized relation would OOM
+        # the driver, so the hint is applied only under the cap (an
+        # explicit hint can't be undone by AQE)
+        if bench_grams.count() <= broadcast_threshold:
+            bench_grams = F.broadcast(bench_grams)
+
+    hits = (corpus_grams
+            .join(bench_grams, "gram_h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    totals = corpus_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"))
+
+    # left join from ALL corpus docs so n-gram-free docs still report
+    all_docs = corpus.select(F.col(id_col).alias("doc_id")).distinct()
+    return (all_docs
+            .join(totals, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_ngrams", F.lit(0)).cast("bigint")
+                .alias("n_ngrams"),
+                F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+                .alias("n_contaminated"),
+                F.round(F.coalesce("n_contaminated", F.lit(0))
+                        / F.greatest(F.coalesce("n_ngrams", F.lit(0)),
+                                     F.lit(1)), 6)
+                .alias("contamination_frac")))
