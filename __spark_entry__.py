@@ -674,6 +674,15 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(corpus, bench, n=3)
 
 
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing: concat-and-chunk token-bin assignment (budget
+    200 tokens, 4 salted pack groups) — per-group window cumsum, no
+    global sort."""
+    from graphrag_rs_spark.operators.packing import pack_token_bins
+    return pack_token_bins(_docs(spark, sf_dir), budget=200,
+                           groups=4, seed="pack")
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test assignment (training-pipeline op):
     key-stable hash-bucket thresholds, pure projection, no shuffle.
@@ -762,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rograg_fuzzy": q_rograg_fuzzy,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "pack_bins": q_pack_bins,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1865,6 +1875,35 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(ws.tok_chars, 1), 6)
                  as top_bigram_char_frac
         from ws left join ls using (doc_id) left join tb using (doc_id)
+    """
+
+    sql["pack_bins"] = f"""
+        with base as (
+          select doc_id,
+                 (bucket % 4)::INT as pack_group,
+                 bucket as _order,
+                 len(toks)::BIGINT as n_tokens
+          from (select doc_id,
+                       ({h.format(x="'pack:' || doc_id")} % 1000000)
+                         as bucket,
+                       {_TOKS} as toks
+                from documents)),
+        laid as (
+          select doc_id, pack_group, n_tokens,
+                 sum(n_tokens) over (
+                   partition by pack_group order by _order, doc_id
+                   rows between unbounded preceding and current row)
+                 - n_tokens as start_offset
+          from base)
+        select doc_id, pack_group, n_tokens, start_offset,
+               (pack_group::BIGINT * 4294967296
+                + (start_offset // 200))::BIGINT as bin_first,
+               (pack_group::BIGINT * 4294967296
+                + ((start_offset + greatest(n_tokens - 1, 0)) // 200))
+                 ::BIGINT as bin_last,
+               ((start_offset + greatest(n_tokens - 1, 0)) // 200
+                - start_offset // 200 + 1)::BIGINT as n_bins_spanned
+        from laid
     """
 
     sql["contamination"] = f"""
