@@ -683,6 +683,25 @@ def q_pack_bins(spark, sf_dir):
                            groups=4, seed="pack")
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII redaction chain (URL → email → IPv4 → phone). The synthetic
+    corpus carries no PII, so deterministic PII is appended per doc on
+    BOTH engines and the full redaction chain is value-verified."""
+    from graphrag_rs_spark.operators.scrub import scrub_pii
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://site.example/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel +1555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("text"))
+    return scrub_pii(d)
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/val/test assignment (training-pipeline op):
     key-stable hash-bucket thresholds, pure projection, no shuffle.
@@ -772,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "pack_bins": q_pack_bins,
+        "scrub_pii": q_scrub_pii,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1875,6 +1895,45 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(ws.tok_chars, 1), 6)
                  as top_bigram_char_frac
         from ws left join ls using (doc_id) left join tb using (doc_id)
+    """
+
+    sql["scrub_pii"] = r"""
+        with aug as (
+          select doc_id,
+                 text || ' contact user' || doc_id
+                      || '@example.com via https://site.example/' || doc_id
+                      || ' or 10.0.' || (doc_id % 256) || '.1 tel +1555'
+                      || lpad(doc_id::VARCHAR, 7, '0') as t0
+          from documents),
+        s1 as (select doc_id,
+                      len(regexp_extract_all(t0, 'https?://[^\s]+'))::BIGINT
+                        as n_url,
+                      regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g')
+                        as t1
+               from aug),
+        s2 as (select doc_id, n_url,
+                      len(regexp_extract_all(t1,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                        ::BIGINT as n_email,
+                      regexp_replace(t1,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                        '<EMAIL>', 'g') as t2
+               from s1),
+        s3 as (select doc_id, n_url, n_email,
+                      len(regexp_extract_all(t2,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                        as n_ipv4,
+                      regexp_replace(t2,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IPV4>', 'g') as t3
+               from s2)
+        select doc_id,
+               regexp_replace(t3, '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g')
+                 as text_clean,
+               n_url, n_email, n_ipv4,
+               len(regexp_extract_all(t3, '\+?\d[\d().-]{7,}\d'))::BIGINT
+                 as n_phone
+        from s3
     """
 
     sql["pack_bins"] = f"""
