@@ -226,6 +226,48 @@ def main() -> int:
         "cross join; counts/density/avg-degree are two-phase hash "
         "aggregates joined to the bucket spine.", trim(p)))
 
+    # 11. training-pipeline curation ops — sampling/scrub are pure
+    # scan-side projections; contamination broadcasts the eval side;
+    # packing shuffles exactly once (on the pack group)
+    p = plan_of(q["sample_split"](spark, sf_dir))
+    check("sample_split: no shuffle, no Python",
+          "Exchange" not in p and "BatchEvalPython" not in p,
+          "split assignment must be a map-side projection")
+    SECTIONS.append((
+        "sample_split — deterministic train/val/test assignment",
+        "Hash-bucket thresholds as one codegen projection over the scan — "
+        "zero shuffles at any corpus size.", trim(p)))
+
+    p = plan_of(q["scrub_pii"](spark, sf_dir))
+    check("scrub_pii: no shuffle, no Python",
+          "Exchange" not in p and "BatchEvalPython" not in p,
+          "staged regex chain must collapse into one projection")
+
+    p = plan_of(q["contamination"](spark, sf_dir))
+    check("contamination: eval side broadcast, corpus side semi-join",
+          "BroadcastHashJoin" in p and "LeftSemi" in p,
+          "expected broadcast left-semi join")
+    check("contamination: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    SECTIONS.append((
+        "contamination — benchmark n-gram overlap",
+        "Distinct benchmark n-gram hashes broadcast (size-capped hint); "
+        "the 100 TB corpus side is a map-side left-semi join — corpus "
+        "rows never shuffle for the membership probe (only the per-doc "
+        "distinct/count aggregates shuffle, keyed by doc).", trim(p)))
+
+    p = plan_of(q["pack_bins"](spark, sf_dir))
+    import re
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    check("pack_bins: exactly one hash shuffle (the pack group)",
+          n_exchange == 1, f"found {n_exchange} hash exchanges")
+    check("pack_bins: no Python", "BatchEvalPython" not in p, "")
+    SECTIONS.append((
+        "pack_bins — token-budget sequence packing",
+        "Salted pack groups turn the global concat-and-chunk layout into "
+        "independent per-group window cumsums: one shuffle keyed on the "
+        "group, each group sorted in parallel, no global sort.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
