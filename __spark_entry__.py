@@ -653,6 +653,27 @@ def q_rograg_fuzzy(spark, sf_dir):
                       "match_type")
 
 
+def q_quantize_emb(spark, sf_dir):
+    """Int8 scalar quantization, flattened to (vec_id, pos, qval, scale)
+    for value-level comparison (positions 1-based)."""
+    from graphrag_rs_spark.operators.similarity import quantize_embeddings
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id", F.round("scale", 6).alias("scale6"),
+        F.posexplode("qvec").alias("pos0", "qval"),
+    ).select("vec_id", "scale6", (F.col("pos0") + 1).alias("pos"), "qval")
+
+
+def q_quantized_knn(spark, sf_dir):
+    """Cosine top-k over int8-quantized vectors (the 4x-smaller-bytes
+    ANN path); sim = integer-dot / (qnorm product), rounded 6dp."""
+    from graphrag_rs_spark.operators.similarity import quantized_topk
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return quantized_topk(emb, queries, k=10)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters (dup-line/word fractions, top-bigram
     char coverage) — the standard public curation heuristics for web-scale
@@ -792,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_bins": q_pack_bins,
         "scrub_pii": q_scrub_pii,
+        "quantize_emb": q_quantize_emb,
+        "quantized_knn": q_quantized_knn,
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
@@ -1844,6 +1867,47 @@ def oracle_sql() -> dict[str, str]:
         select id, content, round(similarity, 6) as similarity, match_type
         from cand order by similarity desc, id asc limit 25
     """
+    _QUANT_CTE = """
+        base as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        sc as (select vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0
+                        as scale
+               from base),
+        q as (select vec_id, scale,
+                     case when scale = 0
+                          then list_transform(v, x -> 0)
+                          else list_transform(v,
+                                 x -> round(x / scale, 0)::INT) end as qvec
+              from sc)
+    """
+
+    sql["quantize_emb"] = f"""
+        with {_QUANT_CTE}
+        select vec_id, round(scale, 6) as scale6,
+               generate_subscripts(qvec, 1) as pos,
+               unnest(qvec) as qval
+        from q
+    """
+
+    sql["quantized_knn"] = f"""
+        with {_QUANT_CTE},
+        qn as (select vec_id, qvec,
+                      sqrt(list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]))
+                        as qnorm
+               from q),
+        queries as (select vec_id as query_id, qvec as qq, qnorm as qqn
+                    from qn where vec_id < 5),
+        s as (select query_id, vec_id,
+                     round(case when qqn * qnorm = 0 then 0
+                           else list_dot_product(qq::DOUBLE[],
+                                                 qvec::DOUBLE[])
+                                / (qqn * qnorm) end, 6) as sim
+              from queries cross join qn),
+        r as (select *, row_number() over (partition by query_id
+                  order by sim desc, vec_id asc) as rank from s)
+        select query_id, vec_id, sim, rank from r where rank <= 10
+    """
+
     sql["repetition_stats"] = f"""
         with base as (
           select doc_id,

@@ -381,3 +381,35 @@ def test_repetition_stats_gopher_filters(spark):
     assert d4["n_lines"] == 0
     assert d4["dup_line_frac"] == 0.0
     assert d4["top_bigram_char_frac"] == 0.0
+
+
+def test_quantize_embeddings_range_and_zero(vecs):
+    from graphrag_rs_spark.operators.similarity import quantize_embeddings
+    spark = vecs.sparkSession
+    with_zero = vecs.union(spark.createDataFrame(
+        [(999, [0.0, 0.0, 0.0], 9)], vecs.schema))
+    out = {r["vec_id"]: r for r in quantize_embeddings(with_zero).collect()}
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        # max-magnitude element always hits ±127 (unless all-zero)
+        if r["scale"] > 0:
+            assert max(abs(q) for q in r["qvec"]) == 127
+    z = out[999]
+    assert z["scale"] == 0.0 and z["qnorm"] == 0.0
+    assert all(q == 0 for q in z["qvec"])
+
+
+def test_quantized_topk_matches_exact_ranking(vecs):
+    from graphrag_rs_spark.operators.similarity import (cosine_topk,
+                                                        quantized_topk)
+    queries = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(vecs, queries, k=5).collect()}
+    quant = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in quantized_topk(vecs, queries, k=5).collect()}
+    hits = sum(exact[k] == quant[k] for k in exact)
+    assert hits / len(exact) >= 0.8    # int8 recall on small clean data
+    # top-1 must survive quantization: self-similarity is exactly 1
+    for q in (0, 1):
+        assert quant[(q, 1)] == q
