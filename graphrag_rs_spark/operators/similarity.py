@@ -14,6 +14,10 @@
   ivf_topk          — IVF approximate top-k: deterministic coarse
                       quantizer (hash-seeded, one Lloyd refinement),
                       probe n closest inverted lists per query.
+  quantize_embeddings / quantized_topk
+                    — int8 scalar quantization (max-abs/127 scale) and
+                      cosine top-k over the quantized vectors: ~4× fewer
+                      bytes moved on the corpus side of ANN.
 
 Cosine is computed in double precision; callers round for cross-engine
 comparison.  At 100 TB the broadcast side must be the small one (queries);

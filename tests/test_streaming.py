@@ -413,3 +413,49 @@ def test_stream_index_available_now(spark, split_input, tmp_path):
     ents, flat = incremental.merge_increment_tables(spark, out)
     assert ents.count() > 0
     assert flat.count() > 0
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicates are dropped across micro-batches (bounded state);
+    survivors carry the batch operator's content hash."""
+    import datetime as dt
+    from graphrag_rs_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "docs_in"
+    b1 = [("a1", "The quick brown fox.", t0),
+          ("a2", "Totally different text", t0),
+          # same normalized content as a1 (case/punct differ)
+          ("a3", "the QUICK brown fox", t0)]
+    b2 = [("b1", "The quick brown fox.", t0),      # dup of a1, later batch
+          ("b2", "fresh content here", t0)]
+    schema = "doc_id string, text string, ts timestamp"
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    deduped = streaming_exact_dedup(stream, delay="30 minutes")
+    q = (deduped.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from sdedup").collect()
+    # 3 distinct normalized payloads survive out of 5 rows
+    assert len(rows) == 3
+    hashes = [r["text_hash"] for r in rows]
+    assert len(set(hashes)) == 3
+    texts = {r["text"] for r in rows}
+    assert "Totally different text" in texts
+    assert "fresh content here" in texts
+    # exactly one of the fox variants survived
+    assert len({t for t in texts if "rown fox" in t}) == 1
+
+    # stream-side hash == batch-side dedup key for the same payload
+    from graphrag_rs_spark.operators.dedup import exact_duplicates
+    batch = exact_duplicates(
+        spark.createDataFrame(b1 + b2, schema).select("doc_id", "text"))
+    assert {r["text_hash"] for r in batch.collect()} >= set(hashes)
