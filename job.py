@@ -15,6 +15,13 @@
     spark-submit ... job.py --stream-dir /lake/turn_events \
         --workdir /tmp/graphrag_out --stream-gap-minutes 30 --stream-once
 
+    # Training-data curation over a (doc_id, text) documents table:
+    # PII scrub -> quality/language/repetition scoring -> exact dedup ->
+    # counted filtering -> key-stable train/val/test split, written to
+    # {workdir}/curated with a JSON counts line:
+    spark-submit ... job.py --curate-docs /lake/documents.parquet \
+        --workdir /tmp/curation_out
+
 Runs transcripts → chunks → entities → triples → canonicalize →
 materialize with per-stage parquet outputs + per-partition lineage in
 {workdir}/_checkpoints (see stages/checkpoint.py).  A killed run rerun
@@ -36,6 +43,9 @@ def main() -> None:
                                      "of transcripts")
     src.add_argument("--stream-dir", help="directory of turn-event "
                      "parquet files to index as a stateful stream")
+    src.add_argument("--curate-docs", help="parquet path of a "
+                     "(doc_id, text) documents table to run the "
+                     "training-data curation pipeline over")
     parser.add_argument("--workdir", required=True)
     parser.add_argument("--run-id", default="run0")
     parser.add_argument("--no-resume", action="store_true")
@@ -52,6 +62,21 @@ def main() -> None:
     from graphrag_rs_spark.stages.pipeline import run_pipeline_checkpointed
 
     spark = get_spark("graphrag_rs_spark.job", master=args.master)
+
+    if args.curate_docs:
+        import os
+        from graphrag_rs_spark.stages.curate import curate_documents
+        t0 = time.time()
+        docs = spark.read.parquet(args.curate_docs)
+        curated, counts = curate_documents(docs)
+        curated.write.mode("overwrite").parquet(
+            os.path.join(args.workdir, "curated"))
+        print(json.dumps({
+            "status": "ok", "mode": "curate",
+            "elapsed_sec": round(time.time() - t0, 2), **counts,
+        }))
+        spark.stop()
+        return
 
     if args.stream_dir:
         import os
