@@ -747,6 +747,18 @@ def q_sample_fraction(spark, sf_dir):
                       hash_bucket("doc_id", "sample").alias("bucket"))
 
 
+def q_curate(spark, sf_dir):
+    """The whole training-data curation pipeline as ONE lazy plan:
+    PII scrub → quality/language/repetition scoring → exact dedup →
+    threshold filter → key-stable split. Every component is its own
+    D-green contract query; this entry value-verifies their COMPOSITION
+    (join keys, filter interplay, column flow) against a DuckDB oracle
+    that replays the chain as composed CTEs. min_quality=0.9 so the
+    quality gate actually drops rows at the contract scale."""
+    from graphrag_rs_spark.stages.curate import curate_frame
+    return curate_frame(_docs(spark, sf_dir), min_quality=0.9)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-language deterministic sampling (language-balanced corpus):
     when-chain threshold per stratum — a map-side filter, no join."""
@@ -818,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
+        "curate": q_curate,
     }
 
 
@@ -2094,6 +2107,66 @@ def oracle_sql() -> dict[str, str]:
               case lang when 'en' then 500000
                         when 'de' then 250000
                         else 100000 end
+    """
+
+    # curate = the composition of six already-verified oracles: each
+    # component oracle is nested verbatim as a subquery (raw-text scrub
+    # inlined — the standalone scrub_pii entry augments with synthetic
+    # PII), joined on doc_id, filtered, split.  Verifies the chain, not
+    # just the parts.
+    _scrub_raw = r"""
+        with s1 as (select doc_id,
+                      len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT
+                        as n_url,
+                      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g')
+                        as t1
+               from documents),
+        s2 as (select doc_id, n_url,
+                      len(regexp_extract_all(t1,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                        ::BIGINT as n_email,
+                      regexp_replace(t1,
+                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                        '<EMAIL>', 'g') as t2
+               from s1),
+        s3 as (select doc_id, n_url, n_email,
+                      len(regexp_extract_all(t2,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                        as n_ipv4,
+                      regexp_replace(t2,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IPV4>', 'g') as t3
+               from s2)
+        select doc_id,
+               regexp_replace(t3, '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g')
+                 as text_clean,
+               n_url, n_email, n_ipv4,
+               len(regexp_extract_all(t3, '\+?\d[\d().-]{7,}\d'))::BIGINT
+                 as n_phone
+        from s3
+    """
+    sql["curate"] = f"""
+        with scrub as ({_scrub_raw}),
+        tok as (select doc_id, n_word_tokens from ({sql['token_stats']})),
+        qual as (select doc_id, quality from ({sql['quality_scores']})),
+        lng as (select doc_id, lang from ({sql['language_id']})),
+        rep as (select doc_id, dup_line_frac, top_bigram_char_frac
+                from ({sql['repetition_stats']})),
+        dd as (select doc_id, group_size, is_canonical
+               from ({sql['dedup_exact']}))
+        select doc_id, text_clean, n_url, n_email, n_ipv4, n_phone,
+               n_word_tokens, quality, lang, dup_line_frac,
+               top_bigram_char_frac, group_size,
+               case when {_bucket.format(seed='split')} < 800000
+                      then 'train'
+                    when {_bucket.format(seed='split')} < 900000
+                      then 'val'
+                    else 'test' end as split
+        from scrub
+        join tok using (doc_id) join qual using (doc_id)
+        join lng using (doc_id) join rep using (doc_id)
+        join dd using (doc_id)
+        where is_canonical and quality >= 0.9 and dup_line_frac <= 0.5
     """
 
     return sql

@@ -31,6 +31,56 @@ from graphrag_rs_spark.operators.textstats import (language_id,
                                                    token_stats)
 
 
+_OUT_COLS = ("doc_id", "text_clean", "n_url", "n_email", "n_ipv4",
+             "n_phone", "n_word_tokens", "quality", "lang",
+             "dup_line_frac", "top_bigram_char_frac", "group_size",
+             "split")
+
+
+def _scored(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per input doc with every curation signal attached."""
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    scrubbed = scrub_pii(base)
+    stats = (token_stats(base)
+             .join(quality_scores(base).select("doc_id", "quality"),
+                   "doc_id")
+             .join(language_id(base).select("doc_id", "lang"), "doc_id")
+             .join(repetition_stats(base).select(
+                 "doc_id", "dup_line_frac", "top_bigram_char_frac"),
+                 "doc_id"))
+    dup = exact_duplicates(base).select(
+        "doc_id", "group_size", "is_canonical")
+    return scrubbed.join(stats, "doc_id").join(dup, "doc_id")
+
+
+def _kept(joined: DataFrame, min_quality: float,
+          max_dup_line_frac: float) -> DataFrame:
+    return joined.filter(
+        F.col("is_canonical") & (F.col("quality") >= min_quality)
+        & (F.col("dup_line_frac") <= max_dup_line_frac))
+
+
+def curate_frame(docs: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_quality: float = 0.5,
+                 max_dup_line_frac: float = 0.5,
+                 split_weights: dict[str, float] | None = None,
+                 split_seed: str = "split") -> DataFrame:
+    """The curated frame as one lazy plan — no actions, no caching.
+
+    Same output as `curate_documents` minus the counts dict; this is the
+    contract-query surface (the DuckDB oracle replays the whole chain as
+    composed CTEs), and the form to use when embedding curation inside a
+    larger plan.
+    """
+    joined = _scored(docs, id_col, text_col)
+    return hash_split(_kept(joined, min_quality, max_dup_line_frac),
+                      "doc_id", weights=split_weights,
+                      seed=split_seed).select(*_OUT_COLS)
+
+
 def curate_documents(docs: DataFrame,
                      id_col: str = "doc_id",
                      text_col: str = "text",
@@ -52,19 +102,7 @@ def curate_documents(docs: DataFrame,
                        F.col(text_col).alias("text"))
     n_input = base.count()
 
-    scrubbed = scrub_pii(base)
-    stats = (token_stats(base)
-             .join(quality_scores(base).select("doc_id", "quality"),
-                   "doc_id")
-             .join(language_id(base).select("doc_id", "lang"), "doc_id")
-             .join(repetition_stats(base).select(
-                 "doc_id", "dup_line_frac", "top_bigram_char_frac"),
-                 "doc_id"))
-    dup = exact_duplicates(base).select(
-        "doc_id", "group_size", "is_canonical")
-
-    joined = (scrubbed.join(stats, "doc_id").join(dup, "doc_id")
-              .persist())
+    joined = _scored(docs, id_col, text_col).persist()
     agg = joined.agg(
         F.sum(F.col("n_url") + F.col("n_email") + F.col("n_ipv4")
               + F.col("n_phone")).alias("pii"),
@@ -77,14 +115,9 @@ def curate_documents(docs: DataFrame,
         .alias("rep_dropped"),
     ).collect()[0]
 
-    kept = joined.filter(
-        F.col("is_canonical") & (F.col("quality") >= min_quality)
-        & (F.col("dup_line_frac") <= max_dup_line_frac))
-    curated = hash_split(kept, "doc_id", weights=split_weights,
-                         seed=split_seed).select(
-        "doc_id", "text_clean", "n_url", "n_email", "n_ipv4", "n_phone",
-        "n_word_tokens", "quality", "lang", "dup_line_frac",
-        "top_bigram_char_frac", "group_size", "split")
+    curated = hash_split(_kept(joined, min_quality, max_dup_line_frac),
+                         "doc_id", weights=split_weights,
+                         seed=split_seed).select(*_OUT_COLS)
 
     # materialize the returned frame BEFORE unpersisting its input:
     # a lazy tail would silently recompute the whole join chain when the
