@@ -34,29 +34,40 @@ _TOKENIZE = ("filter(split(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ')),"
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """→ (doc_id, n_chars, n_ws_tokens, n_word_tokens, n_distinct_tokens)."""
+                text_col: str = "text",
+                keep: tuple[str, ...] = ()) -> DataFrame:
+    """→ (doc_id, n_chars, n_ws_tokens, n_word_tokens, n_distinct_tokens).
+
+    `keep` passes input columns through unchanged, so projection-only
+    stats chain scan-side instead of join-fusing two scans of the same
+    table (see stages/curate.py) — a pure projection never needs a join.
+    """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("bigint").alias("n_chars"),
         F.size(F.split(F.trim(text_col), r"\s+")).cast("bigint")
         .alias("n_ws_tokens"),
         F.expr(_TOKENIZE.format(c=text_col)).alias("toks"),
+        *keep,
     )
     return base.select(
         "doc_id", "n_chars", "n_ws_tokens",
         F.size("toks").cast("bigint").alias("n_word_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint")
         .alias("n_distinct_tokens"),
+        *keep,
     )
 
 
 def quality_scores(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   keep: tuple[str, ...] = ()) -> DataFrame:
     """→ (doc_id, punct_ratio, stopword_ratio, mean_word_len, quality).
 
     quality = mean of three bounded signals: length band, stopword presence
     band, and punctuation sanity — deterministic, rounded to 6 dp.
+    `keep` passes input columns through (same rationale as token_stats);
+    kept names must not collide with the internal n_chars/n_punct/n_tok.
     """
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     base = docs.select(
@@ -66,6 +77,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
         (F.length(text_col)
          - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")))
         .alias("n_punct"),
+        *keep,
     )
     toks = F.col("toks")
     n_tok = F.size(toks)
@@ -84,6 +96,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
         stop_ratio.alias("stopword_ratio"),
         mean_wl.alias("mean_word_len"),
         n_tok.alias("n_tok"),
+        *keep,
     )
     len_signal = F.when((F.col("n_tok") >= 10)
                         & (F.col("n_tok") <= 100000), 1.0).otherwise(0.0)
@@ -94,6 +107,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
         "doc_id", "punct_ratio", "stopword_ratio", "mean_word_len",
         F.round((len_signal + stop_signal + punct_signal) / 3.0, 6)
         .alias("quality"),
+        *keep,
     )
 
 

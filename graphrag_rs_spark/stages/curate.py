@@ -13,9 +13,12 @@ counts dict. Every step is the already-verified operator (see
 COVERAGE.md "training-data pipeline family"); this stage only sequences
 them, so its correctness surface is the operators' own contract queries.
 
-Scale shape: steps 1-2 and 5 are scan-side projections; dedup is the one
-shuffle (content hash); the metric joins are co-keyed on doc_id. Nothing
-collects to the driver except the final counts.
+Scale shape: scrub, token/quality scoring, and the split are scan-side
+projections chained on one scan (no joins); language-id and repetition
+aggregate (explode + agg, doc_id-keyed shuffles) and join back on
+doc_id, so every exchange but one shares the doc_id key — AQE coalesces
+and reuses that partitioning; dedup adds the single foreign-key shuffle
+(content hash). Nothing collects to the driver except the final counts.
 """
 
 from __future__ import annotations
@@ -41,17 +44,18 @@ def _scored(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per input doc with every curation signal attached."""
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
-    scrubbed = scrub_pii(base)
-    stats = (token_stats(base)
-             .join(quality_scores(base).select("doc_id", "quality"),
-                   "doc_id")
+    # projection-only signals chain scan-side (keep= pass-through) — one
+    # scan, zero joins; only the genuinely aggregating signals join back
+    proj = token_stats(quality_scores(base, keep=("text",)),
+                       keep=("quality",))
+    stats = (proj.select("doc_id", "n_word_tokens", "quality")
              .join(language_id(base).select("doc_id", "lang"), "doc_id")
              .join(repetition_stats(base).select(
                  "doc_id", "dup_line_frac", "top_bigram_char_frac"),
                  "doc_id"))
     dup = exact_duplicates(base).select(
         "doc_id", "group_size", "is_canonical")
-    return scrubbed.join(stats, "doc_id").join(dup, "doc_id")
+    return scrub_pii(base).join(stats, "doc_id").join(dup, "doc_id")
 
 
 def _kept(joined: DataFrame, min_quality: float,

@@ -269,6 +269,24 @@ def main() -> int:
         "independent per-group window cumsums: one shuffle keyed on the "
         "group, each group sorted in parallel, no global sort.", trim(p)))
 
+    p = plan_of(q["curate"](spark, sf_dir))
+    check("curate: no Python anywhere",
+          "BatchEvalPython" not in p and "MapInPandas" not in p,
+          "the whole curation chain must stay JVM-side")
+    check("curate: no cartesian product", "CartesianProduct" not in p, "")
+    keyed = re.findall(r"hashpartitioning\((\w+)#", p)
+    check("curate: all exchanges keyed on doc_id or text_hash",
+          set(keyed) <= {"doc_id", "text_hash"},
+          f"unexpected shuffle keys {sorted(set(keyed))}")
+    SECTIONS.append((
+        "curate — end-to-end training-data curation",
+        "Scrub + token/quality scoring + split are ONE chained scan-side "
+        "projection (keep= pass-through, no self-joins of the corpus); "
+        "language-id and repetition are explode+agg signals joined back "
+        "on doc_id; exact dedup adds the single text_hash shuffle. Every "
+        "exchange is doc_id- or text_hash-keyed, so AQE reuses/coalesces "
+        "the partitioning across the join chain.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
