@@ -747,6 +747,26 @@ def q_sample_fraction(spark, sf_dir):
                       hash_bucket("doc_id", "sample").alias("bucket"))
 
 
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus profile (C4/RefinedWeb-style domain curation):
+    doc/char/token counts, mean quality, exact-dup fraction per source —
+    chained scan-side scoring + one groupBy(source) agg to ≤#sources
+    rows; the dup signal reuses exact dedup's single text_hash shuffle."""
+    from graphrag_rs_spark.operators.corpus import source_stats
+    return source_stats(_docs(spark, sf_dir))
+
+
+def q_token_budget(spark, sf_dir):
+    """Deterministic prefix sample up to a 10k-token budget: per-bucket
+    totals (bounded by bucket count, not corpus size) + a boundary-
+    bucket-only ordered cumsum — NO global sort of the corpus; row-for-
+    row equal to the naive global-ordering window the oracle replays."""
+    from graphrag_rs_spark.operators.sampling import sample_token_budget
+    from graphrag_rs_spark.operators.textstats import token_stats
+    d = token_stats(_docs(spark, sf_dir)).select("doc_id", "n_word_tokens")
+    return sample_token_budget(d, "doc_id", "n_word_tokens", budget=10000)
+
+
 def q_curate(spark, sf_dir):
     """The whole training-data curation pipeline as ONE lazy plan:
     PII scrub → quality/language/repetition scoring → exact dedup →
@@ -830,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
+        "source_stats": q_source_stats,
+        "token_budget": q_token_budget,
         "curate": q_curate,
     }
 
@@ -2167,6 +2189,37 @@ def oracle_sql() -> dict[str, str]:
         join lng using (doc_id) join rep using (doc_id)
         join dd using (doc_id)
         where is_canonical and quality >= 0.9 and dup_line_frac <= 0.5
+    """
+
+    sql["source_stats"] = f"""
+        with q as (select doc_id, quality from ({sql['quality_scores']})),
+        tok as (select doc_id, n_chars, n_word_tokens
+                from ({sql['token_stats']})),
+        dd as (select doc_id, is_canonical from ({sql['dedup_exact']}))
+        select d.source,
+               count(*)::BIGINT as n_docs,
+               sum(tok.n_chars)::BIGINT as total_chars,
+               sum(tok.n_word_tokens)::BIGINT as total_word_tokens,
+               round(avg(q.quality), 6) as mean_quality,
+               round(avg(case when dd.is_canonical then 0.0 else 1.0 end),
+                     6) as dup_frac
+        from documents d
+        join q using (doc_id) join tok using (doc_id)
+        join dd using (doc_id)
+        group by d.source
+    """
+
+    sql["token_budget"] = f"""
+        with t as (select doc_id,
+                          len({_TOKS})::BIGINT as n_word_tokens,
+                          {_bucket.format(seed='budget')}::BIGINT as bucket
+                   from documents),
+        o as (select *,
+                     sum(n_word_tokens) over (order by bucket, doc_id
+                       rows between unbounded preceding and current row)
+                       as cum
+              from t)
+        select doc_id, n_word_tokens, bucket from o where cum <= 10000
     """
 
     return sql

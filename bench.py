@@ -105,7 +105,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "node2vec", "kg_sql_triples", "bfs_reach",
                  "graph_evolution", "top_growing", "node2vec_walks",
                  "repetition_stats", "contamination", "pack_bins",
-                 "scrub_pii", "sample_split", "curate"):
+                 "scrub_pii", "sample_split", "source_stats",
+                 "token_budget", "curate"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     run("ann_lsh_buckets", lambda: _noop(lsh_buckets(
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))))

@@ -108,3 +108,52 @@ def stratified_sample(df: DataFrame, strata: str, key: str,
     default_t = F.lit(int(round(default_fraction * RESOLUTION)))
     thr = default_t if thr is None else thr.otherwise(default_t)
     return df.where(bucket < thr)
+
+
+def sample_token_budget(df: DataFrame, key: str, weight_col: str,
+                        budget: int, seed: str = "budget",
+                        out_bucket: str = "bucket") -> DataFrame:
+    """Deterministic prefix sample up to a total token budget.
+
+    Semantics: order all rows by (hash_bucket(key), key) and keep the
+    longest prefix whose running `weight_col` sum stays ≤ budget — the
+    draw every "sample N tokens for this ablation" request needs, exactly
+    reproducible on any cluster size and replayable as one ANSI window
+    cumsum (the DuckDB oracle).
+
+    Scale shape — NO global sort of the corpus:
+      1. per-bucket weight totals: one hash agg to ≤ RESOLUTION rows
+         (bounded by bucket count, NOT corpus size),
+      2. running total over that bounded summary (single-partition
+         window over ≤1e6 rows — fixed cost at any scale),
+      3. the two resulting scalars (boundary bucket, budget already
+         spent before it) broadcast back: buckets below the boundary
+         keep every row with a map-side filter; ONLY the one boundary
+         bucket (≈ corpus_size/RESOLUTION rows) runs an intra-bucket
+         ordered cumsum.
+    Equivalent to the naive global-ordering definition row-for-row.
+    """
+    from pyspark.sql import Window
+
+    b = df.withColumn(out_bucket, hash_bucket(key, seed))
+    totals = b.groupBy(out_bucket).agg(
+        F.sum(weight_col).alias("_bw"))
+    win = Window.orderBy(out_bucket).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = totals.withColumn("_cum", F.sum("_bw").over(win))
+    # boundary = first bucket whose cumulative total exceeds the budget;
+    # everything before it fits entirely within the budget
+    boundary = cum.where(F.col("_cum") > budget).agg(
+        F.min(out_bucket).alias("_bb"),
+        F.min_by(F.col("_cum") - F.col("_bw"), out_bucket).alias("_spent"))
+    marked = b.join(F.broadcast(boundary), how="cross")
+    full = marked.where(F.col("_bb").isNull()
+                        | (F.col(out_bucket) < F.col("_bb")))
+    edge = marked.where(F.col(out_bucket) == F.col("_bb"))
+    ewin = Window.partitionBy(out_bucket).orderBy(F.col(key)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    edge_kept = (edge
+                 .withColumn("_ecum", F.sum(weight_col).over(ewin))
+                 .where(F.col("_spent") + F.col("_ecum") <= budget)
+                 .drop("_ecum"))
+    return full.unionByName(edge_kept).drop("_bb", "_spent")

@@ -269,6 +269,31 @@ def main() -> int:
         "independent per-group window cumsums: one shuffle keyed on the "
         "group, each group sorted in parallel, no global sort.", trim(p)))
 
+    p = plan_of(q["token_budget"](spark, sf_dir))
+    check("token_budget: no global range sort of the corpus",
+          "rangepartitioning" not in p,
+          "prefix sample must not globally sort the corpus")
+    check("token_budget: no Python", "BatchEvalPython" not in p, "")
+    SECTIONS.append((
+        "token_budget — deterministic prefix sample to a token budget",
+        "Per-bucket totals (one hash agg, bounded by bucket count not "
+        "corpus size), a window cumsum over that bounded summary, and a "
+        "broadcast of the two boundary scalars back: full buckets keep "
+        "rows with a map-side filter; only the single boundary bucket "
+        "runs an ordered cumsum. Row-for-row equal to the naive "
+        "global-ordering definition without ever range-partitioning the "
+        "corpus.", trim(p)))
+
+    p = plan_of(q["source_stats"](spark, sf_dir))
+    check("source_stats: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    SECTIONS.append((
+        "source_stats — per-source corpus profile",
+        "Quality/token signals ride the chained scan-side projection; "
+        "the dup fraction reuses exact dedup's text_hash shuffle; the "
+        "profile is one groupBy(source) partial-agg to ≤#sources rows.",
+        trim(p)))
+
     p = plan_of(q["curate"](spark, sf_dir))
     check("curate: no Python anywhere",
           "BatchEvalPython" not in p and "MapInPandas" not in p,
