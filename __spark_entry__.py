@@ -1098,13 +1098,17 @@ def oracle_sql() -> dict[str, str]:
         from pb group by doc_id
     """
 
+    from graphrag_rs_spark.operators.textstats import BPEISH_PATTERN
+    _bpeish = BPEISH_PATTERN.replace("'", "''")
     sql["token_stats"] = f"""
         select doc_id,
                length(text)::BIGINT as n_chars,
                len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
                  as n_ws_tokens,
                len({_TOKS})::BIGINT as n_word_tokens,
-               len(list_distinct({_TOKS}))::BIGINT as n_distinct_tokens
+               len(list_distinct({_TOKS}))::BIGINT as n_distinct_tokens,
+               len(regexp_extract_all(text, '{_bpeish}'))::BIGINT
+                 as n_bpeish_tokens
         from documents
     """
 

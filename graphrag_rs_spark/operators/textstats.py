@@ -32,11 +32,23 @@ STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "as", "at", "by", "be", "on",
 _TOKENIZE = ("filter(split(trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ')),"
              " ' '), x -> x != '')")
 
+# GPT-2-style pre-tokenizer, restricted to the subset with identical
+# semantics under Java regex (Spark) and RE2 (DuckDB): contractions,
+# space-prefixed letter/digit runs, punctuation runs, residual
+# whitespace.  Counting its matches is the standard cheap "how many BPE
+# tokens will this cost" estimate (within a few % of a real BPE for
+# English web text — each match maps to ≥1 merge-table token).
+BPEISH_PATTERN = (r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                  r"| ?[^A-Za-z0-9\s]+|\s+")
+
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text",
                 keep: tuple[str, ...] = ()) -> DataFrame:
-    """→ (doc_id, n_chars, n_ws_tokens, n_word_tokens, n_distinct_tokens).
+    """→ (doc_id, n_chars, n_ws_tokens, n_word_tokens, n_distinct_tokens,
+    n_bpeish_tokens) — whitespace, word-regex, and BPE-ish-pretokenizer
+    counts (the three token-counting conventions a curation pipeline
+    quotes budgets in).
 
     `keep` passes input columns through unchanged, so projection-only
     stats chain scan-side instead of join-fusing two scans of the same
@@ -48,6 +60,8 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.split(F.trim(text_col), r"\s+")).cast("bigint")
         .alias("n_ws_tokens"),
         F.expr(_TOKENIZE.format(c=text_col)).alias("toks"),
+        F.regexp_count(F.col(text_col), F.lit(BPEISH_PATTERN))
+        .cast("bigint").alias("n_bpeish_tokens"),
         *keep,
     )
     return base.select(
@@ -55,6 +69,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
         F.size("toks").cast("bigint").alias("n_word_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint")
         .alias("n_distinct_tokens"),
+        F.col("n_bpeish_tokens"),
         *keep,
     )
 
