@@ -54,6 +54,17 @@ def test_filter_sources(corpus):
     assert set(kept.columns) == {"doc_id", "text", "source"}
 
 
+def test_filter_sources_renamed_column(spark, corpus):
+    renamed = corpus.withColumnRenamed("source", "domain")
+    kept, counts = filter_sources(renamed, min_mean_quality=0.5,
+                                  max_dup_frac=0.5,
+                                  blocklist=("blocked.example",),
+                                  source_col="domain")
+    assert {r["doc_id"] for r in kept.collect()} == {"d1", "d2"}
+    assert counts["survivors"] == 2
+    assert "domain" in kept.columns and "_keep" not in kept.columns
+
+
 def _naive_budget(rows, budget):
     """Reference semantics: global (bucket, key) order, prefix ≤ budget."""
     ordered = sorted(rows, key=lambda r: (r["bucket"], r["key"]))
