@@ -16,11 +16,14 @@
         --workdir /tmp/graphrag_out --stream-gap-minutes 30 --stream-once
 
     # Training-data curation over a (doc_id, text) documents table:
-    # PII scrub -> quality/language/repetition scoring -> exact dedup ->
-    # counted filtering -> key-stable train/val/test split, written to
-    # {workdir}/curated with a JSON counts line:
+    # optional whole-source gating (blocklist / mean-quality / dup-frac
+    # thresholds), then PII scrub -> quality/language/repetition scoring
+    # -> exact dedup -> counted filtering -> key-stable train/val/test
+    # split, written to {workdir}/curated with a JSON counts line:
     spark-submit ... job.py --curate-docs /lake/documents.parquet \
-        --workdir /tmp/curation_out
+        --workdir /tmp/curation_out \
+        --source-blocklist spam.example,mirror.example \
+        --min-source-quality 0.4 --max-source-dup-frac 0.8
 
 Runs transcripts → chunks → entities → triples → canonicalize →
 materialize with per-stage parquet outputs + per-partition lineage in
@@ -55,6 +58,15 @@ def main() -> None:
     parser.add_argument("--stream-once", action="store_true",
                         help="drain available files and exit "
                              "(trigger availableNow)")
+    parser.add_argument("--source-blocklist", default="",
+                        help="comma-separated sources to drop before "
+                             "document-level curation (--curate-docs)")
+    parser.add_argument("--min-source-quality", type=float, default=None,
+                        help="drop whole sources below this mean quality "
+                             "before document-level curation")
+    parser.add_argument("--max-source-dup-frac", type=float, default=None,
+                        help="drop whole sources above this exact-dup "
+                             "fraction before document-level curation")
     args = parser.parse_args()
 
     from graphrag_rs_spark.session import get_spark
@@ -68,7 +80,20 @@ def main() -> None:
         from graphrag_rs_spark.stages.curate import curate_documents
         t0 = time.time()
         docs = spark.read.parquet(args.curate_docs)
-        curated, counts = curate_documents(docs)
+        counts = {}
+        blocklist = tuple(s for s in args.source_blocklist.split(",") if s)
+        if blocklist or args.min_source_quality is not None \
+                or args.max_source_dup_frac is not None:
+            from graphrag_rs_spark.operators.corpus import filter_sources
+            docs, src_counts = filter_sources(
+                docs,
+                min_mean_quality=args.min_source_quality or 0.0,
+                max_dup_frac=(1.0 if args.max_source_dup_frac is None
+                              else args.max_source_dup_frac),
+                blocklist=blocklist)
+            counts.update({f"source_{k}": v for k, v in src_counts.items()})
+        curated, doc_counts = curate_documents(docs)
+        counts.update(doc_counts)
         curated.write.mode("overwrite").parquet(
             os.path.join(args.workdir, "curated"))
         print(json.dumps({
