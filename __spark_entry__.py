@@ -792,6 +792,66 @@ def q_sample_stratified(spark, sf_dir):
                       hash_bucket("doc_id", "strat").alias("bucket"))
 
 
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1,
+                "src_absent": 0.5}
+_MIX_BUDGET = 50_000
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Domain-mixture solver: per-source available tokens × target shares
+    → epochs (pass count) capped at 4 — one groupBy(source) agg to
+    ≤#sources rows, shares normalized over PRESENT sources in-plan."""
+    from graphrag_rs_spark.operators.mixture import mixture_plan
+    return mixture_plan(_docs(spark, sf_dir), _MIX_TARGETS,
+                        token_budget=_MIX_BUDGET)
+
+
+def q_mixture_real(spark, sf_dir):
+    """Mixture realization: one output row per (doc, copy) — floor(epochs)
+    whole passes + hash-fraction extra pass, broadcast-join + explode,
+    zero corpus shuffle (plan asserted in tests/test_mixture.py)."""
+    from graphrag_rs_spark.operators.mixture import (mixture_plan,
+                                                     realize_mixture)
+    d = _docs(spark, sf_dir)
+    return realize_mixture(d, mixture_plan(d, _MIX_TARGETS,
+                                           token_budget=_MIX_BUDGET))
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training's counting kernel: corpus → word freqs → adjacent
+    symbol-pair counts (first iteration) — the one-corpus-scan half of
+    tokenizer training, fully SQL-expressible hence DuckDB-verified."""
+    from graphrag_rs_spark.operators.bpe import bpe_pair_counts
+    return bpe_pair_counts(_docs(spark, sf_dir)).select(
+        F.col("left").alias("lhs"), F.col("right").alias("rhs"),
+        "pair_freq")
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (24 merges over the distinct-word vocab;
+    per-merge work independent of corpus size). The argmax-iterate loop
+    is not one SQL query — rows-only here; merge order/pairs/frequencies
+    are pinned exactly against an independent pure-Python BPE in
+    tests/test_bpe.py."""
+    from graphrag_rs_spark.operators.bpe import bpe_train, merges_frame
+    return merges_frame(
+        spark, bpe_train(_docs(spark, sf_dir), num_merges=24))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Corpus encoded with the learned merge table: merges rewrite only
+    the distinct-word dictionary, corpus maps through a broadcast join.
+    Rows-only (DuckDB's RE2 lacks the lookarounds the exact greedy
+    rewrite needs); token sequences pinned vs pure-Python BPE in
+    tests/test_bpe.py."""
+    from graphrag_rs_spark.operators.bpe import bpe_encode, bpe_train
+    d = _docs(spark, sf_dir)
+    merges = bpe_train(d, num_merges=24)
+    return bpe_encode(d, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens",
+        F.concat_ws(" ", F.slice("tokens", 1, 12)).alias("head_tokens"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -853,6 +913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "token_budget": q_token_budget,
         "curate": q_curate,
+        "mixture_plan": q_mixture_plan,
+        "mixture_real": q_mixture_real,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2224,6 +2289,58 @@ def oracle_sql() -> dict[str, str]:
                        as cum
               from t)
         select doc_id, n_word_tokens, bucket from o where cum <= 10000
+    """
+
+    # Mixture solver + realization: share normalization over present
+    # sources, 4-epoch cap, md5-bucket fractional pass — replayed verbatim
+    # (operators/mixture.py).
+    _mix_tgt = ", ".join(f"('{s}', {w})"
+                         for s, w in sorted(_MIX_TARGETS.items()))
+    _mix_plan = f"""
+        with tok as (
+            select source, sum(len({_TOKS}))::BIGINT as available_tokens
+            from documents group by source
+        ),
+        tgt(source, raw_share) as (values {_mix_tgt}),
+        j as (select t.source, t.available_tokens, g.raw_share,
+                     sum(g.raw_share) over () as tot
+              from tok t join tgt g using (source))
+        select source, available_tokens,
+               round(raw_share / tot, 6) as target_share,
+               round(raw_share / tot * {_MIX_BUDGET}, 6) as desired_tokens,
+               round(least(raw_share / tot * {_MIX_BUDGET}
+                           / available_tokens, 4.0), 6) as epochs
+        from j
+    """
+    sql["mixture_plan"] = _mix_plan
+    sql["mixture_real"] = f"""
+        with plan as ({_mix_plan}),
+        j as (select d.doc_id, d.source, p.epochs
+              from documents d join plan p using (source)),
+        c as (select doc_id, source,
+                     (floor(epochs) + case
+                        when ({_bucket.format(seed='mixture')})
+                             < round((epochs - floor(epochs)) * 1000000)
+                        then 1 else 0 end)::BIGINT as n
+              from j)
+        select doc_id, source, cast(u.copy_idx as INT) as copy_idx
+        from c cross join unnest(generate_series(1, n)) as u(copy_idx)
+        where n > 0
+    """
+
+    # BPE counting kernel: word freqs → adjacent char-pair counts
+    # (operators/bpe.py bpe_pair_counts; chars via regexp_extract_all).
+    sql["bpe_pair_counts"] = f"""
+        with words as (select unnest({_TOKS}) as word from documents),
+        freqs as (select word, count(*)::BIGINT as freq
+                  from words group by word),
+        syms as (select regexp_extract_all(word, '.') as cs, freq
+                 from freqs where length(word) >= 2),
+        pairs as (select cs[g.i] as lhs, cs[g.i + 1] as rhs, freq
+                  from syms cross join
+                       unnest(generate_series(1, len(cs) - 1)) as g(i))
+        select lhs, rhs, sum(freq)::BIGINT as pair_freq
+        from pairs group by lhs, rhs
     """
 
     return sql

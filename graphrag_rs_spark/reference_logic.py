@@ -281,8 +281,19 @@ class ExtractedEntity:
     mentions: list[Mention] = field(default_factory=list)
 
 
+_NON_WORD_ASCII = re.compile(r"[^A-Za-z']+")
+
+
 def _clean_word(word: str) -> str:
-    """entity/mod.rs:653-659 — keep alphabetic + apostrophes, strip trailing '."""
+    """entity/mod.rs:653-659 — keep alphabetic + apostrophes, strip trailing '.
+
+    ASCII fast path: one compiled-regex sub instead of a per-char genexpr
+    (this function dominates extraction CPU; `str.isascii` is O(n) in C and
+    `[A-Za-z]` == `str.isalpha` exactly on ASCII input).  Non-ASCII words
+    fall back to the Unicode-faithful per-char loop.
+    """
+    if word.isascii():
+        return _NON_WORD_ASCII.sub("", word).rstrip("'")
     kept = "".join(c for c in word if c.isalpha() or c == "'")
     return kept.rstrip("'")
 
@@ -384,20 +395,40 @@ def _mk(name: str, entity_type: str, confidence: float, text: str) -> ExtractedE
     )
 
 
+# KNOWN_NAMES indexed by lowercase first word.  A candidate at position i
+# can only match names whose first word equals cleaned-lowered words[i], so
+# the per-position scan shrinks from O(|KNOWN_NAMES|) to one dict lookup.
+# Within a bucket the original KNOWN_NAMES order is preserved, so the
+# first-match `break` picks the same winner as the reference's linear scan.
+_KNOWN_BY_FIRST: dict[str, list[tuple[str, list[str], int]]] = {}
+for _name, _wc in KNOWN_NAMES:
+    _nw = [w.lower() for w in _name.split()]
+    _KNOWN_BY_FIRST.setdefault(_nw[0], []).append((_name, _nw, _wc))
+del _name, _wc, _nw
+
+
 def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
-    """entity/mod.rs:190-513 — four ordered phases over whitespace tokens."""
+    """entity/mod.rs:190-513 — four ordered phases over whitespace tokens.
+
+    Perf note: `_clean_word`/lowercase are pure, so each word is cleaned
+    exactly once up front and all four phases index the precomputed arrays
+    — the phase logic below is otherwise a line-for-line match of the
+    reference's ordered scans.
+    """
     entities: list[ExtractedEntity] = []
     words = text.split()
+    n = len(words)
+    cleaned = [_clean_word(w) for w in words]
+    lowered = [c.lower() for c in cleaned]
     processed: set[int] = set()
 
     # PHASE 1: known multi-word names (entity/mod.rs:364-421)
-    for i in range(len(words)):
+    for i in range(n):
         if i in processed:
             continue
-        for name, word_count in KNOWN_NAMES:
-            name_words = name.split()
-            if i + len(name_words) <= len(words) and all(
-                _clean_word(words[i + j]).lower() == expected.lower()
+        for name, name_words, word_count in _KNOWN_BY_FIRST.get(lowered[i], ()):
+            if i + len(name_words) <= n and all(
+                lowered[i + j] == expected
                 for j, expected in enumerate(name_words)
             ):
                 if 0.95 >= min_confidence:
@@ -407,15 +438,15 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
                 break
 
     # PHASE 2: title-based names (entity/mod.rs:424-471)
-    for i in range(len(words)):
+    for i in range(n):
         if i in processed:
             continue
-        if (_clean_word(words[i]).lower() in PERSON_TITLES
-                and i + 1 < len(words) and (i + 1) not in processed):
-            next_word = _clean_word(words[i + 1])
+        if (lowered[i] in PERSON_TITLES
+                and i + 1 < n and (i + 1) not in processed):
+            next_word = cleaned[i + 1]
             if _is_capitalized(words[i + 1]) and _is_likely_person_word(next_word):
-                if i + 2 < len(words) and (i + 2) not in processed:
-                    third = _clean_word(words[i + 2])
+                if i + 2 < n and (i + 2) not in processed:
+                    third = cleaned[i + 2]
                     if _is_capitalized(words[i + 2]) and _is_likely_person_word(third):
                         processed.add(i + 2)
                         name = f"{next_word} {third}"
@@ -429,15 +460,15 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
                 processed.add(i + 1)
 
     # PHASE 3: two-word First Last (entity/mod.rs:474-513)
-    for i in range(len(words)):
-        if i in processed or i + 1 >= len(words) or (i + 1) in processed:
+    for i in range(n):
+        if i in processed or i + 1 >= n or (i + 1) in processed:
             continue
-        first = _clean_word(words[i])
-        second = _clean_word(words[i + 1])
+        first = cleaned[i]
+        second = cleaned[i + 1]
         if (_is_capitalized(words[i]) and _is_capitalized(words[i + 1])
                 and _is_likely_person_word(first) and _is_likely_person_word(second)
-                and first.lower() not in NON_PERSON_WORDS
-                and second.lower() not in NON_PERSON_WORDS):
+                and lowered[i] not in NON_PERSON_WORDS
+                and lowered[i + 1] not in NON_PERSON_WORDS):
             name = f"{first} {second}"
             if _is_likely_person_name(name):
                 confidence = calculate_confidence(name, "PERSON")
@@ -450,8 +481,8 @@ def _extract_persons(text: str, min_confidence: float) -> list[ExtractedEntity]:
     for i, raw in enumerate(words):
         if i in processed:
             continue
-        word = _clean_word(raw)
-        if len(word) < 2 or word.lower() in NON_PERSON_WORDS:
+        word = cleaned[i]
+        if len(word) < 2 or lowered[i] in NON_PERSON_WORDS:
             continue
         if _is_capitalized(raw) and _is_likely_person_word(word):
             confidence = calculate_confidence(word, "PERSON")
@@ -704,9 +735,58 @@ def levenshtein_distance(s1: str, s2: str) -> int:
     return prev[len(s2)]
 
 
+def _levenshtein_bounded(s1: str, s2: str, k: int) -> int:
+    """Exact distance when ≤ k, else any value > k (Ukkonen band DP).
+
+    Cells outside the |i-j| ≤ k band are capped at k+1; a capped value can
+    only ever propagate to values > k, so any reported value ≤ k is exact.
+    Rows whose whole band exceeds k abort early (every path crosses each
+    row's band).  O(k·min(len1,len2)) instead of O(len1·len2).
+    """
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0:
+        return len2
+    if len2 == 0:
+        return len1
+    if abs(len1 - len2) > k:
+        return k + 1
+    big = k + 1
+    prev = [j if j <= k else big for j in range(len2 + 1)]
+    for i in range(1, len1 + 1):
+        c1 = s1[i - 1]
+        lo = i - k if i - k > 1 else 1
+        hi = i + k if i + k < len2 else len2
+        cur = [big] * (len2 + 1)
+        cur[0] = i if i <= k else big
+        row_min = cur[0]
+        for j in range(lo, hi + 1):
+            cost = 0 if c1 == s2[j - 1] else 1
+            v = prev[j - 1] + cost
+            v2 = prev[j] + 1
+            if v2 < v:
+                v = v2
+            v3 = cur[j - 1] + 1
+            if v3 < v:
+                v = v3
+            if v > big:
+                v = big
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min > k:
+            return big
+        prev = cur
+    return prev[len2]
+
+
 def levenshtein_similarity(s1: str, s2: str, max_edit_distance: int = 2) -> float:
-    """string_similarity_linker.rs:193-206."""
-    d = levenshtein_distance(s1, s2)
+    """string_similarity_linker.rs:193-206.
+
+    Uses the banded bounded distance: the reference maps any distance
+    above `max_edit_distance` to 0.0, so only distances ≤ the cutoff need
+    to be exact — which the band guarantees.
+    """
+    d = _levenshtein_bounded(s1, s2, max_edit_distance)
     if d > max_edit_distance:
         return 0.0
     max_len = max(len(s1), len(s2))
