@@ -85,6 +85,99 @@ def extract_chunk_entities(
     return out
 
 
+ENTITY_STRUCT = (
+    "entity_id: string, name: string, entity_type: string, "
+    "confidence: double, mention_starts: array<long>, "
+    "mention_ends: array<long>, first_offset: long"
+)
+
+
+def extract_chunk_bundles(
+    chunks: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    extra: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """chunks → ONE row per chunk: (chunk_id, doc_id, ents: array<struct>,
+    *extra passthrough columns).
+
+    The per-chunk array keeps extract_from_chunk's deterministic
+    (first_offset, entity_id) order, which makes downstream pair
+    emission a map-side array expansion instead of a self-join — the
+    bundle form exists so the triple stage needs NO shuffle at all
+    (triples.emit_triple_mentions_from_bundles).  `extra` columns
+    (e.g. the predicate-rule context flags) are computed JVM-side from
+    the chunk row and ride through the Arrow batch untouched, avoiding a
+    join to get them back beside the pairs.
+
+    E6 allow/exclude filters apply to the ARRAY here (order-preserving
+    F.filter), so every consumer — entity/mention tables and pairs —
+    sees the same filtered view, exactly like the exploded path.
+    """
+    entity_types = tuple(cfg.entity_types)
+    min_confidence = cfg.min_confidence
+    extra = extra or {}
+    extra_names = list(extra)
+    schema = (f"chunk_id string, doc_id string, "
+              f"ents array<struct<{ENTITY_STRUCT}>>")
+    src = chunks.select("chunk_id", "doc_id", "content",
+                        *[c.alias(n) for n, c in extra.items()])
+    if extra_names:
+        schema += ", " + ", ".join(
+            f"{n} {src.schema[n].dataType.simpleString()}"
+            for n in extra_names)
+    if num_partitions:
+        src = src.repartition(num_partitions)
+
+    def bundle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ents_col = [
+                [
+                    {
+                        "entity_id": e.entity_id,
+                        "name": e.name,
+                        "entity_type": e.entity_type,
+                        "confidence": e.confidence,
+                        "mention_starts": [m.start for m in e.mentions],
+                        "mention_ends": [m.end for m in e.mentions],
+                        "first_offset": min(
+                            (m.start for m in e.mentions), default=1 << 60),
+                    }
+                    for e in rl.extract_from_chunk(content, entity_types,
+                                                   min_confidence)
+                ]
+                for content in pdf["content"]
+            ]
+            out = pdf[["chunk_id", "doc_id", *extra_names]].copy()
+            out["ents"] = ents_col
+            yield out[["chunk_id", "doc_id", "ents", *extra_names]]
+
+    out = src.mapInPandas(bundle_batches, schema=schema)
+    # E6 allow/exclude name filters on the array (JVM, order-preserving)
+    ents = F.col("ents")
+    if cfg.include_name_pattern:
+        ents = F.filter(ents,
+                        lambda e: e["name"].rlike(cfg.include_name_pattern))
+    for pat in cfg.exclude_name_patterns:
+        ents = F.filter(ents, lambda e: ~e["name"].rlike(pat))
+    if cfg.include_name_pattern or cfg.exclude_name_patterns:
+        out = out.withColumn("ents", ents)
+    return out
+
+
+def chunk_entities_from_bundles(bundles: DataFrame) -> DataFrame:
+    """Bundle rows → the classic exploded chunk_entities table
+    (CHUNK_ENTITY_SCHEMA, one row per (chunk, entity)) — a pure
+    map-side explode, no shuffle."""
+    e = bundles.select("chunk_id", "doc_id", F.explode("ents").alias("e"))
+    return e.select(
+        "chunk_id", "doc_id", "e.entity_id", "e.name", "e.entity_type",
+        "e.confidence", "e.mention_starts", "e.mention_ends",
+        "e.first_offset")
+
+
 def entities_table(chunk_entities: DataFrame) -> DataFrame:
     """Graph-level entity dedup (E5, graph/mod.rs:243-265): merge by
     entity_id, keep max confidence, count mentions."""

@@ -54,12 +54,19 @@ def run_pipeline(
     documents = chunking.assemble_documents(transcripts)
     chunks = chunking.chunk_documents(documents, cfg,
                                       num_partitions=num_partitions)
-    # chunks feed three consumers (extraction, context flags, stats)
+    # chunks feed two consumers (bundle extraction, stats)
     chunks = chunks.persist()
-    chunk_entities = extraction.extract_chunk_entities(chunks, cfg).persist()
+    # ONE extraction pass emits per-chunk entity ARRAYS with the
+    # predicate context flags riding through the Arrow batch, so pair
+    # emission is a map-side array expansion (no self-join, no flags
+    # join — zero shuffles in the triple stage)
+    bundles = extraction.extract_chunk_bundles(
+        chunks, cfg, num_partitions=num_partitions,
+        extra=triples_mod.context_flag_columns()).persist()
+    chunk_entities = extraction.chunk_entities_from_bundles(bundles)
     entities = extraction.entities_table(chunk_entities)
     mentions = extraction.mentions_table(chunk_entities)
-    flat = triples_mod.emit_triple_mentions(chunk_entities, chunks, cfg)
+    flat = triples_mod.emit_triple_mentions_from_bundles(bundles, cfg)
 
     entities = entities.persist()
     # flat is NOT persisted: its producer join is cheap to recompute from
@@ -120,16 +127,22 @@ def run_pipeline_checkpointed(
         "chunks",
         lambda: chunking.chunk_documents(documents, cfg, num_partitions),
         resume)
+    bundles = ck.run_stage(
+        "chunk_bundles",
+        lambda: extraction.extract_chunk_bundles(
+            chunks, cfg, num_partitions,
+            extra=triples_mod.context_flag_columns()),
+        resume)
     chunk_entities = ck.run_stage(
         "chunk_entities",
-        lambda: extraction.extract_chunk_entities(chunks, cfg), resume)
+        lambda: extraction.chunk_entities_from_bundles(bundles), resume)
     entities = ck.run_stage(
         "entities", lambda: extraction.entities_table(chunk_entities), resume)
     mentions = ck.run_stage(
         "mentions", lambda: extraction.mentions_table(chunk_entities), resume)
     flat = ck.run_stage(
         "triple_mentions",
-        lambda: triples_mod.emit_triple_mentions(chunk_entities, chunks, cfg),
+        lambda: triples_mod.emit_triple_mentions_from_bundles(bundles, cfg),
         resume)
     raw_triples = ck.run_stage(
         "triples", lambda: triples_mod.triples_with_context(flat, cfg),

@@ -39,10 +39,14 @@ def process_increment(
     """
     docs = chunking.assemble_documents(batch)
     chunks = chunking.chunk_documents(docs, cfg).persist()
-    ce = extraction.extract_chunk_entities(chunks, cfg).persist()
+    # same shuffle-free bundle path as the batch pipeline: entity arrays
+    # + predicate flags in one Arrow pass, pairs expanded map-side
+    bundles = extraction.extract_chunk_bundles(
+        chunks, cfg, extra=tmod.context_flag_columns()).persist()
+    ce = extraction.chunk_entities_from_bundles(bundles)
     entities = extraction.entities_table(ce)
     mentions = extraction.mentions_table(ce)
-    flat = tmod.emit_triple_mentions(ce, chunks, cfg)
+    flat = tmod.emit_triple_mentions_from_bundles(bundles, cfg)
 
     counts = {}
     for name, df in (("chunks", chunks), ("entities", entities),
@@ -50,7 +54,7 @@ def process_increment(
         df.write.mode("append").parquet(os.path.join(out_dir, name))
         counts[name] = df.count()
     chunks.unpersist()
-    ce.unpersist()
+    bundles.unpersist()
     return counts
 
 

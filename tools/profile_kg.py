@@ -56,15 +56,18 @@ def main() -> None:
     chunks = chunks.persist()
     stage("chunks (assemble+chunk)", lambda: noop(chunks))
 
-    chunk_entities = extraction.extract_chunk_entities(chunks, cfg).persist()
-    stage("extract", lambda: noop(chunk_entities))
+    bundles = extraction.extract_chunk_bundles(
+        chunks, cfg, num_partitions=cpus,
+        extra=triples_mod.context_flag_columns()).persist()
+    stage("extract (bundles)", lambda: noop(bundles))
+    chunk_entities = extraction.chunk_entities_from_bundles(bundles)
 
     entities = extraction.entities_table(chunk_entities).persist()
     stage("entities_table", lambda: noop(entities))
     mentions = extraction.mentions_table(chunk_entities)
     stage("mentions_table", lambda: noop(mentions))
 
-    flat = triples_mod.emit_triple_mentions(chunk_entities, chunks, cfg)
+    flat = triples_mod.emit_triple_mentions_from_bundles(bundles, cfg)
     stage("triple_mentions", lambda: noop(flat))
 
     pairs = canonicalize.candidate_pairs(entities).persist()
