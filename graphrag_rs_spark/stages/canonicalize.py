@@ -226,7 +226,8 @@ def _apply_alias(df: DataFrame, alias_map: DataFrame, col: str) -> DataFrame:
 def rewrite_triple_mentions(triple_mentions: DataFrame,
                             canonical: DataFrame,
                             cfg: PipelineConfig = DEFAULT_CONFIG,
-                            mention_counts: DataFrame | None = None) -> DataFrame:
+                            mention_counts: DataFrame | None = None,
+                            dedup: bool = True) -> DataFrame:
     """L5 on the FLAT form: re-point (chunk_id, subj, pred, obj) endpoints
     through the alias map, dedup rows that collapse onto the same
     canonical triple.
@@ -245,6 +246,15 @@ def rewrite_triple_mentions(triple_mentions: DataFrame,
 
     Identity rows may be omitted from `canonical`.  Stays codegen-only —
     no object aggregation here (see triples.triples_with_context).
+
+    `dedup=False` skips the trailing repartition+distinct and returns the
+    alias-applied stream as-is.  Use it when the consumer is the context
+    fold: `collect_set(chunk_key)` per (subj, pred, obj) group already
+    ignores duplicate rows, so folding the raw stream yields the exact
+    same canonical_triples while paying ONE shuffle of the 10⁷-row
+    stream instead of two (measured 105s → 40s at 2.16M turns/local[16]
+    for rewrite→fold).  Flat-table consumers need dedup=True — the flat
+    form's contract is distinct rows.
     """
     aliases = canonical.filter(
         F.col("entity_id") != F.col("canonical_id")) \
@@ -277,6 +287,8 @@ def rewrite_triple_mentions(triple_mentions: DataFrame,
                        hot, "obj")
     if cold is not None:
         out = _apply_alias(_apply_alias(out, cold, "subj"), cold, "obj")
+    if not dedup:
+        return out.select("chunk_id", "subj", "pred", "obj")
     return (
         out.select("chunk_id", "subj", "pred", "obj")
         # repartition on (a subset of) the dedup key BEFORE distinct:

@@ -77,16 +77,26 @@ def run_pipeline(
     # (lazy checkpoint: materializes on first use, both consumers reuse)
     keyed = canonicalize.shared_blocked_keys(entities)
     canon = canonicalize.canonical_map(entities, cfg, keyed=keyed).persist()
-    # localCheckpoint, NOT persist: building the columnar in-memory cache
-    # for this string-heavy 10⁷-row table costs ~2.4× the compute itself
-    # (measured 92s cache build vs 39s checkpoint at 200k convs); the
-    # checkpoint stores serialized partitions, truncates the plan, and
-    # both consumers (context folding, communities) read it back in ~4s
+    # The 10⁷-row rewritten stream is NEVER materialized: with the
+    # bundle path its recompute from persisted `bundles` is a map-side
+    # expansion + broadcast join (~8s at 2.16M turns), so serializing it
+    # (51.6s localCheckpoint measured at the same size) costs far more
+    # than folding it in flight.  Instead the FOLDED canonical triple
+    # table — distinct (subj, pred, obj), orders of magnitude smaller —
+    # is the checkpointed artifact, and every downstream consumer
+    # (communities' edge set, exports, stats) reads the fold.
     canon_flat = canonicalize.rewrite_triple_mentions(
-        flat, canon, cfg, mention_counts=entities) \
+        flat, canon, cfg, mention_counts=entities)
+    # fold the RAW (un-deduped) rewrite: collect_set subsumes the
+    # distinct, so this is ONE shuffle of the flat stream, not two
+    canon_raw = canonicalize.rewrite_triple_mentions(
+        flat, canon, cfg, mention_counts=entities, dedup=False)
+    canon_triples = triples_mod.triples_with_context(canon_raw, cfg) \
         .localCheckpoint(eager=True)
     canon_entities = materialize.canonical_entities(entities, canon)
-    comms = materialize.communities(canon_entities, canon_flat,
+    # CC over the folded edge set: identical components (edge multiplicity
+    # is irrelevant to connectivity), tiny input instead of the flat stream
+    comms = materialize.communities(canon_entities, canon_triples,
                                     max_iterations=cfg.cc_max_iterations)
 
     return PipelineResult(
@@ -99,7 +109,7 @@ def run_pipeline(
         triples=triples_mod.triples_with_context(flat, cfg),
         canonical_map=canon,
         canonical_triple_mentions=canon_flat,
-        canonical_triples=triples_mod.triples_with_context(canon_flat, cfg),
+        canonical_triples=canon_triples,
         canonical_entities=canon_entities,
         communities=comms,
         dropped_blocks=canonicalize.dropped_block_stats(entities,

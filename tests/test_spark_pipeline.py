@@ -144,3 +144,56 @@ def test_no_entity_below_confidence_threshold(result):
     n = result.entities.filter(
         F.col("confidence") < DEFAULT_CONFIG.min_confidence).count()
     assert n == 0
+
+
+def test_bundle_pair_emission_is_shuffle_free(result):
+    """The bundle triple path (extract_chunk_bundles with flag
+    passthrough → emit_triple_mentions_from_bundles) must reach pairs
+    with ZERO Exchange: one MapInPandas for extraction, then pure
+    codegen generators.  This is the stage's load-bearing claim — the
+    classic path pays two sort-merge exchanges plus a flags join."""
+    from graphrag_rs_spark.stages import triples as tmod
+    bundles = extraction.extract_chunk_bundles(
+        result.chunks, DEFAULT_CONFIG, extra=tmod.context_flag_columns())
+    pairs = tmod.emit_triple_mentions_from_bundles(bundles)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # tree text prints downstream operators ABOVE the first MapInPandas
+    # (the extractor; the chunker upstream is a second Arrow pass):
+    # everything between pair emission and extraction must be
+    # exchange-free, reached via two chained posexplode generators
+    downstream = plan.split("MapInPandas")[0]
+    assert "Exchange" not in downstream
+    assert downstream.count("Generate posexplode") == 2
+    assert "BatchEvalPython" not in plan       # no row-at-a-time Python
+
+
+def test_bundle_path_matches_classic_path(result):
+    """Row-identical (chunk_id, subj, pred, obj) bags from the bundle
+    expansion and the original self-join emission."""
+    from graphrag_rs_spark.stages import triples as tmod
+    ce = extraction.extract_chunk_entities(result.chunks, DEFAULT_CONFIG)
+    classic = tmod.emit_triple_mentions(ce, result.chunks, DEFAULT_CONFIG)
+    bundles = extraction.extract_chunk_bundles(
+        result.chunks, DEFAULT_CONFIG, extra=tmod.context_flag_columns())
+    new = tmod.emit_triple_mentions_from_bundles(bundles)
+    cols = ["chunk_id", "subj", "pred", "obj"]
+    a = sorted(map(tuple, classic.select(*cols).collect()))
+    b = sorted(map(tuple, new.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_fold_over_raw_rewrite_equals_fold_over_distinct(result):
+    """collect_set subsumes the flat-form distinct: folding the raw
+    alias-applied stream yields byte-identical canonical triples."""
+    from graphrag_rs_spark.stages import canonicalize
+    from graphrag_rs_spark.stages import triples as tmod
+    raw = canonicalize.rewrite_triple_mentions(
+        result.triple_mentions, result.canonical_map, DEFAULT_CONFIG,
+        dedup=False)
+    deduped = canonicalize.rewrite_triple_mentions(
+        result.triple_mentions, result.canonical_map, DEFAULT_CONFIG)
+    a = sorted(map(tuple, tmod.triples_with_context(raw,
+               DEFAULT_CONFIG).collect()))
+    b = sorted(map(tuple, tmod.triples_with_context(deduped,
+               DEFAULT_CONFIG).collect()))
+    assert a == b and len(a) > 0

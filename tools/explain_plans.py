@@ -132,6 +132,28 @@ def main() -> int:
         "reassembly) and downstream (aggregations, joins, CC) is JVM "
         "codegen.", trim(p)))
 
+    # 5b. bundle triple path: extraction → ordered pairs with ZERO
+    # shuffles (the round-3 rewrite of the pair self-join)
+    from graphrag_rs_spark.stages import triples as tmod
+    bundles = extraction.extract_chunk_bundles(
+        chunks, DEFAULT_CONFIG, extra=tmod.context_flag_columns())
+    p = plan_of(tmod.emit_triple_mentions_from_bundles(bundles))
+    check("bundle pairs: zero Exchange downstream of extraction",
+          "Exchange" not in p.split("MapInPandas")[0],
+          "pair emission must not shuffle (upstream doc assembly may)")
+    check("bundle pairs: no row-at-a-time Python",
+          "BatchEvalPython" not in p, "Arrow passes only")
+    check("bundle pairs: codegen generators",
+          p.split("MapInPandas")[0].count("Generate posexplode") == 2,
+          "expected two chained posexplode generators above the extractor")
+    SECTIONS.append((
+        "emit_triple_mentions_from_bundles — shuffle-free pair stage",
+        "Per-chunk entity arrays (with predicate context flags riding "
+        "through the Arrow batch) expand to ordered pairs via two chained "
+        "posexplode generators over a slimmed (id, type, offset) copy — "
+        "zero Exchange where the classic path paid two sort-merge "
+        "shuffles plus a flags join.", trim(p)))
+
     # 6. canonical pipeline communities input: repartition before the
     # wide distinct (the GC-collapse fix)
     from graphrag_rs_spark.stages.pipeline import run_pipeline

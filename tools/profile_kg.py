@@ -88,21 +88,20 @@ def main() -> None:
     stage("canon: full canonical_map", lambda: noop(canon))
 
     t0 = time.time()
-    canon_flat = canonicalize.rewrite_triple_mentions(flat, canon, cfg) \
+    canon_raw = canonicalize.rewrite_triple_mentions(flat, canon, cfg,
+                                                     dedup=False)
+    canon_triples = triples_mod.triples_with_context(canon_raw, cfg) \
         .localCheckpoint(eager=True)
-    times["rewrite+checkpoint"] = round(time.time() - t0, 2)
-    print(f"{'rewrite+checkpoint':28s} {times['rewrite+checkpoint']:8.2f}s",
-          flush=True)
+    times["rewrite+fold+checkpoint"] = round(time.time() - t0, 2)
+    print(f"{'rewrite+fold+checkpoint':28s} "
+          f"{times['rewrite+fold+checkpoint']:8.2f}s", flush=True)
 
     canon_entities = materialize.canonical_entities(entities, canon)
     stage("canonical_entities", lambda: noop(canon_entities))
 
-    comms = materialize.communities(canon_entities, canon_flat,
+    comms = materialize.communities(canon_entities, canon_triples,
                                     max_iterations=cfg.cc_max_iterations)
     stage("communities", lambda: noop(comms))
-
-    trip = triples_mod.triples_with_context(canon_flat, cfg)
-    stage("triples_with_context", lambda: noop(trip))
 
     print(f"{'TOTAL (incl. recompute)':28s} {time.time() - t_all:8.2f}s")
     spark.stop()
