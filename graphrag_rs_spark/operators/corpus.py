@@ -79,9 +79,14 @@ def filter_sources(docs: DataFrame,
          ).alias("_keep")).persist()
     n_sources = verdict.count()
     n_dropped_sources = verdict.where(~F.col("_keep")).count()
-    kept = (docs.join(F.broadcast(verdict),
-                      docs[source_col] == verdict["source"], "left")
-            .where(F.col("_keep")).drop("_keep", "source")
+    # The verdict's key is aliased before the renamed-column join so the
+    # drop below can never swallow an unrelated caller column that
+    # happens to be named "source" (the docstring promises original
+    # columns back).
+    _v = verdict.withColumnRenamed("source", "_verdict_source")
+    kept = (docs.join(F.broadcast(_v),
+                      docs[source_col] == _v["_verdict_source"], "left")
+            .where(F.col("_keep")).drop("_keep", "_verdict_source")
             if source_col != "source" else
             docs.join(F.broadcast(verdict), "source")
             .where(F.col("_keep")).drop("_keep"))

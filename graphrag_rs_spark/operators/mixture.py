@@ -63,11 +63,19 @@ def mixture_plan(docs: DataFrame, targets: dict[str, float],
     # normalization constant as an unpartitioned window over the joined
     # frame (≤ #sources rows) — keeps the plan one lazy job, no driver
     # round-trip
+    # Guarded divisions: Spark 4 runs ANSI mode by default, so a plain
+    # `/` on a zero denominator aborts the job instead of yielding null.
+    # Zero denominators are reachable — a source whose docs all tokenize
+    # to nothing (all-punctuation / non-Latin text) has
+    # available_tokens = 0, and all-zero raw_shares make total_share 0.
     total_share = F.sum("raw_share").over(Window.partitionBy())
-    share = F.col("raw_share") / total_share
+    share = F.when(total_share > 0, F.col("raw_share") / total_share) \
+             .otherwise(F.lit(0.0))
     desired = share * F.lit(float(token_budget))
-    epochs = F.least(desired / F.col("available_tokens"),
-                     F.lit(float(max_epochs)))
+    epochs = F.when(
+        F.col("available_tokens") > 0,
+        F.least(desired / F.col("available_tokens"),
+                F.lit(float(max_epochs)))).otherwise(F.lit(0.0))
     return (
         joined.select(
             "source",

@@ -102,12 +102,11 @@ def curate_documents(docs: DataFrame,
     repetition_dropped, survivors, per-split sizes — the numbers a
     curation run must report (dropped and counted, never silently).
     """
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("text"))
-    n_input = base.count()
-
     joined = _scored(docs, id_col, text_col).persist()
+    # `joined` has exactly one row per input doc, so the input count
+    # rides in the same agg — no separate full scan of the source table.
     agg = joined.agg(
+        F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("n_url") + F.col("n_email") + F.col("n_ipv4")
               + F.col("n_phone")).alias("pii"),
         F.sum((~F.col("is_canonical")).cast("int")).alias("dup_dropped"),
@@ -132,7 +131,7 @@ def curate_documents(docs: DataFrame,
                        F.count(F.lit(1)).alias("n")).collect()}
     joined.unpersist()
     counts = {
-        "input_docs": int(n_input),
+        "input_docs": int(agg["n_input"]),
         "pii_redactions": int(agg["pii"] or 0),
         "dedup_dropped": int(agg["dup_dropped"] or 0),
         "quality_dropped": int(agg["q_dropped"] or 0),

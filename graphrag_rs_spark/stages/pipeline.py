@@ -85,12 +85,18 @@ def run_pipeline(
     # table — distinct (subj, pred, obj), orders of magnitude smaller —
     # is the checkpointed artifact, and every downstream consumer
     # (communities' edge set, exports, stats) reads the fold.
-    canon_flat = canonicalize.rewrite_triple_mentions(
-        flat, canon, cfg, mention_counts=entities)
-    # fold the RAW (un-deduped) rewrite: collect_set subsumes the
-    # distinct, so this is ONE shuffle of the flat stream, not two
+    # ONE rewrite call: the eager alias-cap probe inside
+    # rewrite_triple_mentions (limit(hot_k+1).count()) is a real Spark
+    # job, so building the raw and deduped forms from separate calls
+    # paid it twice.  The flat (distinct) form is derived from the raw
+    # stream exactly as dedup=True would have built it.
     canon_raw = canonicalize.rewrite_triple_mentions(
         flat, canon, cfg, mention_counts=entities, dedup=False)
+    canon_flat = (canon_raw
+                  .repartition(cfg.shuffle_partitions, "subj", "obj")
+                  .distinct())
+    # fold the RAW (un-deduped) rewrite: collect_set subsumes the
+    # distinct, so this is ONE shuffle of the flat stream, not two
     canon_triples = triples_mod.triples_with_context(canon_raw, cfg) \
         .localCheckpoint(eager=True)
     canon_entities = materialize.canonical_entities(entities, canon)

@@ -65,6 +65,21 @@ def test_filter_sources_renamed_column(spark, corpus):
     assert "domain" in kept.columns and "_keep" not in kept.columns
 
 
+def test_filter_sources_keeps_unrelated_source_column(spark, corpus):
+    """Regression: with a renamed source_col, a caller data column that
+    happens to be named 'source' must come back intact — the join's
+    verdict key may not shadow it."""
+    renamed = (corpus.withColumnRenamed("source", "domain")
+               .withColumn("source", F.concat(F.lit("payload-"),
+                                              F.col("doc_id"))))
+    kept, _ = filter_sources(renamed, min_mean_quality=0.5,
+                             max_dup_frac=0.5,
+                             blocklist=("blocked.example",),
+                             source_col="domain")
+    rows = {r["doc_id"]: r["source"] for r in kept.collect()}
+    assert rows == {"d1": "payload-d1", "d2": "payload-d2"}
+
+
 def _naive_budget(rows, budget):
     """Reference semantics: global (bucket, key) order, prefix ≤ budget."""
     ordered = sorted(rows, key=lambda r: (r["bucket"], r["key"]))

@@ -66,6 +66,30 @@ def test_plan_arithmetic(spark, docs):
     assert plan["code"]["epochs"] < 1.0
 
 
+def test_plan_zero_token_source_plans_zero_epochs(spark):
+    """ANSI-mode regression: a source whose docs all tokenize to nothing
+    (all-punctuation / non-Latin text) has available_tokens = 0 — the
+    epochs division must yield 0.0, not abort the job with
+    DIVIDE_BY_ZERO (Spark 4 default ANSI semantics)."""
+    rows = [(0, "real words here", "web"), (1, "!!! ...", "punct")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                    "source string")
+    plan = {r["source"]: r for r in
+            mixture_plan(d, {"web": 0.5, "punct": 0.5},
+                         token_budget=10).collect()}
+    assert plan["punct"]["available_tokens"] == 0
+    assert plan["punct"]["epochs"] == 0.0
+    assert plan["web"]["epochs"] > 0.0
+
+
+def test_plan_all_zero_shares(spark, docs):
+    """total_share = 0 must also survive ANSI mode: every share is 0."""
+    plan = mixture_plan(docs, {"web": 0.0, "books": 0.0},
+                        token_budget=10).collect()
+    assert all(r["epochs"] == 0.0 and r["target_share"] == 0.0
+               for r in plan)
+
+
 def test_epoch_cap(spark, docs):
     plan = {r["source"]: r["epochs"] for r in
             mixture_plan(docs, TARGETS, token_budget=10_000,
