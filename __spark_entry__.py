@@ -2046,9 +2046,12 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, bg, count(*) as cnt
           from (select doc_id, unnest(bigrams) as bg from ws)
           group by doc_id, bg),
-        tb as (select doc_id, max(cnt * (length(bg) - 1))
-                 as top_bigram_chars
-               from bc group by doc_id)
+        tb as (select doc_id, cnt * (length(bg) - 1) as top_bigram_chars
+               from (select doc_id, bg, cnt,
+                            row_number() over (partition by doc_id
+                              order by cnt desc, length(bg) desc, bg) as rn
+                     from bc)
+               where rn = 1)
         select ws.doc_id,
                coalesce(ls.n_lines, 0)::BIGINT as n_lines,
                round(coalesce(ls.dup_lines, 0)

@@ -39,6 +39,26 @@ def tokens(col: Column | str) -> Column:
         .otherwise(F.split(t, " "))
 
 
+def word_ngrams(toks: Column | str, n: int) -> Column:
+    """Space-joined word n-grams of an ALREADY-MATERIALIZED token array.
+
+    Shared by contamination and repetition stats so the two pitfalls
+    live in one place: (1) `sequence(1, 0)` steps DOWN to [1, 0] in
+    Spark, so <n-token docs must short-circuit to an empty array before
+    indexing; (2) callers must project the token array first —
+    tokenization inlined into the lambda re-evaluates per position
+    (measured 30× slower at sf0.1).
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j)
+                               for j in range(n)])))
+
+
 def shingle_array(norm_col: Column | str, k: int = 5) -> Column:
     """Distinct k-char shingles of an ALREADY-NORMALIZED column.
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graphrag_rs_spark.functions.hashing import h60, tokens
+from graphrag_rs_spark.functions.hashing import h60, tokens, word_ngrams
 
 # Above this many distinct benchmark n-grams, stop hinting broadcast and
 # let AQE decide (≈ 8 bytes × 50M keys ≈ 400 MB hashed relation).
@@ -38,15 +38,8 @@ def _ngram_hashes(df: DataFrame, id_col: str, text_col: str,
     """
     base = df.select(F.col(id_col).alias("doc_id"),
                      tokens(text_col).alias("toks"))
-    toks = F.col("toks")
-    grams = F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, i + j)
-                               for j in range(n)])))
-    return (base.select("doc_id", F.explode(grams).alias("gram"))
+    return (base.select("doc_id",
+                        F.explode(word_ngrams("toks", n)).alias("gram"))
             .select("doc_id", h60("gram").alias("gram_h"))
             .distinct())
 
@@ -69,11 +62,16 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
                    .select("gram_h").distinct()
                    .withColumn("_hit", F.lit(1)))
     if broadcast_threshold > 0:
-        # counting the benchmark side is one cheap job on the SMALL input
-        # (re-derived rather than persisted — no cache residency to manage);
-        # a guaranteed-broadcast hint on an oversized relation would OOM
-        # the driver, so the hint is applied only under the cap (an
-        # explicit hint can't be undone by AQE)
+        # The size probe is one eager job on the SMALL side (so building
+        # this DataFrame runs a Spark job — callers printing plans pay
+        # it once).  persist() makes the probe count and the join read
+        # ONE materialization instead of deriving the benchmark gram set
+        # twice; the cached relation is bounded by the eval-suite
+        # contract and ages out with the DataFrame.  A guaranteed
+        # broadcast hint on an oversized relation would OOM the driver,
+        # so the hint is applied only under the cap (an explicit hint
+        # can't be undone by AQE).
+        bench_grams = bench_grams.persist()
         if bench_grams.count() <= broadcast_threshold:
             bench_grams = F.broadcast(bench_grams)
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from graphrag_rs_spark.functions.hashing import h60
+from graphrag_rs_spark.functions.hashing import h60, word_ngrams
 
 # Small, fixed marker lexicons (top function words per language).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -255,24 +255,27 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.array_distinct("toks")).alias("n_distinct_toks"),
         F.aggregate("toks", F.lit(0).cast("bigint"),
                     lambda acc, t: acc + F.length(t)).alias("tok_chars"),
-        # sequence(1, 0) steps DOWN to [1, 0] in Spark, so <2-token docs
-        # must short-circuit to an empty array before indexing
-        F.expr("case when size(toks) < 2 then array()"
-               " else transform(sequence(1, size(toks) - 1),"
-               "   i -> concat(element_at(toks, i), ' ',"
-               "               element_at(toks, i + 1))) end")
-        .alias("bigrams"),
+        word_ngrams("toks", 2).alias("bigrams"),
     )
     bigram_counts = (
         word_stats.select("doc_id", F.explode_outer("bigrams").alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # chars covered by a bigram's occurrences = cnt * (len(bg) - 1): the
-    # joining space in the concat is not a source character.
+    # Gopher A1.1: chars covered by the MOST FREQUENT bigram — pick by
+    # occurrence count (ties → longer bigram; equal (cnt, len) ties have
+    # equal coverage, so the product is deterministic either way), then
+    # coverage = cnt * (len(bg) - 1): the joining space in the concat is
+    # not a source character.  max over cnt*(len-1) directly would let a
+    # long rare bigram outscore the most frequent one.
     top_bigram = bigram_counts.groupBy("doc_id").agg(
         F.max(F.when(F.col("bg").isNotNull(),
-                     F.col("cnt") * (F.length("bg") - 1)).otherwise(0))
+                     F.struct(F.col("cnt").alias("cnt"),
+                              (F.length("bg") - 1).alias("bchars"))))
+        .alias("_top"))
+    top_bigram = top_bigram.select(
+        "doc_id",
+        F.coalesce(F.col("_top.cnt") * F.col("_top.bchars"), F.lit(0))
         .alias("top_bigram_chars"))
 
     out = (

@@ -374,13 +374,28 @@ def test_repetition_stats_gopher_filters(spark):
     assert d2["dup_word_frac"] == 0.0
 
     d3 = out["d3"]
-    # 8 tokens of 4 chars = 32 chars; "spam ham" occurs 4 times -> 4*8=32
+    # tok_chars = 4·4 + 4·3 = 28; most frequent bigram "spam ham"
+    # (cnt 4, 7 source chars) covers 4*7 = 28 -> 28/28
     assert d3["top_bigram_char_frac"] == 1.0
 
     d4 = out["d4"]
     assert d4["n_lines"] == 0
     assert d4["dup_line_frac"] == 0.0
     assert d4["top_bigram_char_frac"] == 0.0
+
+
+def test_top_bigram_is_most_frequent_not_max_coverage(spark):
+    """Gopher A1.1 regression: the statistic is the char coverage of the
+    MOST FREQUENT bigram.  A long but rarer bigram ('internationalization
+    standardization', cnt 2, 35 source chars/occurrence = 70) must not
+    outscore the most frequent one ('aa bb', cnt 3, 4 chars/occurrence
+    = 12)."""
+    text = ("aa bb aa bb aa bb internationalization standardization "
+            "internationalization standardization")
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    row = textstats.repetition_stats(df).collect()[0]
+    tok_chars = 3 * 2 + 3 * 2 + 2 * 20 + 2 * 15  # = 82
+    assert row["top_bigram_char_frac"] == round(3 * 4 / tok_chars, 6)
 
 
 def test_quantize_embeddings_range_and_zero(vecs):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -280,7 +281,6 @@ def main() -> int:
         "keyed by doc).", trim(p)))
 
     p = plan_of(q["pack_bins"](spark, sf_dir))
-    import re
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
     check("pack_bins: exactly one hash shuffle (the pack group)",
           n_exchange == 1, f"found {n_exchange} hash exchanges")
