@@ -144,8 +144,15 @@ def main() -> int:
           "pair emission must not shuffle (upstream doc assembly may)")
     check("bundle pairs: no row-at-a-time Python",
           "BatchEvalPython" not in p, "Arrow passes only")
+    # formatted mode puts the operator tree first ("Generate (12)") and
+    # the posexplode arguments in later detail sections, so the two
+    # pieces are asserted separately: both generators sit above the
+    # extractor in the tree, and both are posexplodes in the details.
+    tree = p.split("(1) ")[0]
     check("bundle pairs: codegen generators",
-          p.split("MapInPandas")[0].count("Generate posexplode") == 2,
+          tree.index("Generate") < tree.index("MapInPandas")
+          and len(re.findall(r"\(\d+\) Generate", p)) == 2
+          and p.count("posexplode(") >= 2,
           "expected two chained posexplode generators above the extractor")
     SECTIONS.append((
         "emit_triple_mentions_from_bundles — shuffle-free pair stage",
