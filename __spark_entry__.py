@@ -176,6 +176,16 @@ def q_dedup_clusters(spark, sf_dir):
                              k=5, num_hashes=16, bands=8)
 
 
+def q_dedup_segments(spark, sf_dir):
+    """Corpus-level repeated-segment removal (CCNet/RefinedWeb line
+    dedup generalized to 3-word segments): segments occurring in > 2
+    documents' segment sets are dropped everywhere, counted per doc,
+    and the surviving text is rebuilt in order."""
+    from graphrag_rs_spark.operators.dedup import segment_dedup
+    return segment_dedup(_docs(spark, sf_dir), "doc_id", "text",
+                         width=3, max_df=2)
+
+
 def q_token_stats(spark, sf_dir):
     from graphrag_rs_spark.operators.textstats import token_stats
     return token_stats(_docs(spark, sf_dir), "doc_id", "text")
@@ -865,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_segments": q_dedup_segments,
         "dedup_simhash": q_dedup_simhash,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1144,6 +1155,28 @@ def oracle_sql() -> dict[str, str]:
         select node as doc_id, cluster_id,
                (node = cluster_id)::INT as is_canonical
         from rec
+    """
+
+    sql["dedup_segments"] = """
+        with words as (
+          select doc_id,
+                 unnest(string_split(text, ' ')) as word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 as pos
+          from documents),
+        segs as (
+          select doc_id, pos // 3 as seg_idx,
+                 string_agg(word, ' ' order by pos) as seg
+          from words group by doc_id, pos // 3),
+        dfreq as (select seg, count(*) as seg_df from segs group by seg),
+        flagged as (
+          select s.doc_id, s.seg_idx, s.seg, d.seg_df > 2 as dropped
+          from segs s join dfreq d using (seg))
+        select doc_id,
+               count(*)::INT as n_segments,
+               sum(dropped::INT)::INT as n_dropped,
+               coalesce(string_agg(case when not dropped then seg end,
+                                   ' ' order by seg_idx), '') as clean_text
+        from flagged group by doc_id
     """
 
     sql["dedup_simhash"] = f"""

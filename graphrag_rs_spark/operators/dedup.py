@@ -274,3 +274,63 @@ def near_dup_clusters(
         (F.col("node") == F.col("component")).cast("int")
         .alias("is_canonical"),
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """→ (doc_id, n_segments, n_dropped, clean_text): corpus-level
+    repeated-segment removal (the CCNet/RefinedWeb line-dedup step,
+    generalized to fixed `width`-word segments for corpora without
+    line structure).
+
+    Every non-overlapping run of `width` consecutive words is a
+    segment; a segment whose exact text occurs in more than `max_df`
+    documents' segments corpus-wide is dropped from every document,
+    and the surviving segments are re-joined in original order.
+    Removal is counted per document (`n_dropped`), never silent.
+
+    Pure Catalyst: posexplode → two hash aggregations (segment rebuild,
+    corpus frequency) → join on the content-derived segment text →
+    ordered rebuild.  Scale posture: both shuffles key on
+    (doc_id, seg_idx) or the segment text itself, so partitioning is
+    uniform by construction; the frequency table is only as large as
+    the distinct-segment set and joins back on its own key (AQE can
+    broadcast it when small).  No stage is quadratic in the corpus.
+
+    Reference scope note: graphrag-rs has no cross-corpus dedup
+    (its dedup is per-graph entity dedup, graph/mod.rs:243-265); this
+    operator is part of the training-data curation family the engine
+    adds for 100 TB corpora.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+    segs = (
+        words
+        .withColumn("seg_idx", F.floor(F.col("pos") / width))
+        .groupBy("doc_id", "seg_idx")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"]),
+            " ").alias("seg")))
+    dfreq = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("seg_df"))
+    flagged = segs.join(dfreq, "seg").withColumn(
+        "dropped", F.col("seg_df") > max_df)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum(F.col("dropped").cast("int")).cast("int").alias("n_dropped"),
+        # when() without otherwise() yields null for dropped segments and
+        # collect_list skips nulls — the filter rides inside the one agg
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(~F.col("dropped"),
+                           F.struct("seg_idx", "seg")))),
+                lambda s: s["seg"]),
+            " ").alias("clean_text"))

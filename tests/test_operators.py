@@ -428,3 +428,32 @@ def test_quantized_topk_matches_exact_ranking(vecs):
     # top-1 must survive quantization: self-similarity is exactly 1
     for q in (0, 1):
         assert quant[(q, 1)] == q
+
+
+def test_segment_dedup(spark):
+    # width=2 segments; "a b" and "c d" repeat across all three docs,
+    # the tails differ.  max_df=2 drops exactly the segments occurring
+    # in >2 docs, everywhere, and rebuilds the remainder in order.
+    rows = [
+        (1, "a b c d x1 y1"),
+        (2, "a b c d x2 y2"),
+        (3, "a b c d x3 y3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.segment_dedup(docs, width=2, max_df=2).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_segments"] == 3
+        assert out[i]["n_dropped"] == 2           # "a b" and "c d" (df=3)
+        assert out[i]["clean_text"] == f"x{i} y{i}"
+
+    # max_df=3 keeps everything; order of rebuild is the original order
+    kept = {r["doc_id"]: r["clean_text"] for r in
+            dedup.segment_dedup(docs, width=2, max_df=3).collect()}
+    assert kept[1] == "a b c d x1 y1"
+
+    # a doc whose every segment is dropped rebuilds to the empty string
+    all_dup = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id long, text string")
+    gone = dedup.segment_dedup(all_dup, width=2, max_df=1).collect()
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in gone)
