@@ -692,6 +692,15 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality proxy: add-1 bigram LM trained on the
+    corpus itself, every doc scored under it (avg log2 prob +
+    perplexity).  Low-ppl boilerplate and high-ppl noise are the two
+    curation tails."""
+    from graphrag_rs_spark.operators.textstats import lm_perplexity
+    return lm_perplexity(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: train-split docs scored for word-3-gram
     overlap against the test split (the eval side is broadcast — the
@@ -913,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "rograg_fuzzy": q_rograg_fuzzy,
         "repetition_stats": q_repetition_stats,
+        "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
         "pack_bins": q_pack_bins,
         "scrub_pii": q_scrub_pii,
@@ -2043,6 +2053,35 @@ def oracle_sql() -> dict[str, str]:
         r as (select *, row_number() over (partition by query_id
                   order by sim desc, vec_id asc) as rank from s)
         select query_id, vec_id, sim, rank from r where rank <= 10
+    """
+
+    sql["lm_perplexity"] = f"""
+        with toks as (
+          select doc_id, unnest({_TOKS}) as w,
+                 generate_subscripts({_TOKS}, 1) as pos
+          from documents),
+        bg0 as (
+          select doc_id, w as w1,
+                 lead(w) over (partition by doc_id order by pos) as w2
+          from toks),
+        bg as (select doc_id, w1, w1 || ' ' || w2 as bg
+               from bg0 where w2 is not null),
+        vocab as (select count(distinct w) as v from toks),
+        c12 as (select bg, count(*) as c12 from bg group by bg),
+        c1 as (select w1, count(*) as c1 from bg group by w1),
+        scored as (
+          select b.doc_id,
+                 log2((c12 + 1.0) / (c1 + 1.0 * v)) as lp
+          from bg b join c12 using (bg) join c1 using (w1)
+          cross join vocab),
+        per_doc as (
+          select doc_id, count(*)::INT as n_bigrams, avg(lp) as alp
+          from scored group by doc_id)
+        select d.doc_id,
+               coalesce(n_bigrams, 0)::INT as n_bigrams,
+               round(alp, 6) as avg_logprob,
+               round(pow(2.0, -alp), 6) as perplexity
+        from documents d left join per_doc using (doc_id)
     """
 
     sql["repetition_stats"] = f"""

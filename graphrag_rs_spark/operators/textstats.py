@@ -202,6 +202,72 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", add_k: float = 1.0) -> DataFrame:
+    """Bigram-LM perplexity quality proxy (the CCNet signal, Wenzek et
+    al. 2020, with an in-corpus add-k bigram LM standing in for the
+    external KenLM — no model files, fully engine-portable).
+
+    → (doc_id, n_bigrams, avg_logprob, perplexity): an add-k-smoothed
+    bigram LM is trained on the WHOLE input corpus, then every document
+    is scored under it —
+
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+
+    where c(w1·) is w1's count as a bigram prefix and V the corpus
+    vocabulary size.  avg_logprob = mean log2 P over the doc's bigrams;
+    perplexity = 2^(-avg_logprob).  Boilerplate/templated text scores
+    low perplexity, lexical noise scores high — both tails are what a
+    curation pipeline filters.  Docs with < 2 tokens return n_bigrams=0
+    and null scores.  Floats rounded 6dp at the output boundary.
+
+    Scale shape: one explode to bigrams, two count aggregations (bigram
+    table ~ distinct-bigram sized, prefix table ~ vocab sized), then two
+    joins back on those same keys.  Stopword bigrams make the join keys
+    Zipf-skewed — AQE skew-join splits them; the count tables broadcast
+    when small.  Nothing is quadratic and no per-doc state exceeds the
+    doc itself.
+
+    Reference scope note: graphrag-rs has no corpus LM scoring; this is
+    part of the engine-added training-data curation family (COVERAGE.md
+    "curation").
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_TOKENIZE.format(c=text_col)).alias("toks"))
+    # vocabulary size over ALL tokens (not just bigram prefixes), the
+    # standard smoothing denominator
+    vocab = (toks.select(F.explode("toks").alias("w"))
+             .agg(F.countDistinct("w").cast("bigint").alias("v_size")))
+    bg = (
+        toks.select("doc_id",
+                    F.explode(word_ngrams("toks", 2)).alias("bg"))
+        .withColumn("w1", F.split("bg", " ")[0]))
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c12, "bg").join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log2((F.col("c12") + F.lit(add_k))
+                   / (F.col("c1") + F.lit(add_k) * F.col("v_size")))
+            .alias("lp")))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.avg("lp").alias("_avg_lp"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("int")
+            .alias("n_bigrams"),
+            F.round("_avg_lp", 6).alias("avg_logprob"),
+            F.round(F.pow(F.lit(2.0), -F.col("_avg_lp")), 6)
+            .alias("perplexity")))
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1):

@@ -457,3 +457,38 @@ def test_segment_dedup(spark):
         [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id long, text string")
     gone = dedup.segment_dedup(all_dup, width=2, max_df=1).collect()
     assert all(r["clean_text"] == "" and r["n_dropped"] == 1 for r in gone)
+
+
+def test_lm_perplexity_golden(spark):
+    # corpus: bigrams "a b" x3 (docs 1,1,2), "b a" x1 (doc 1);
+    # prefix counts a=3, b=1; vocab {a,b,c} -> V=3; add-1 smoothing:
+    #   P(b|a) = (3+1)/(3+3) = 2/3       P(a|b) = (1+1)/(1+3) = 1/2
+    rows = [(1, "a b a b"), (2, "a b"), (3, "c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.lm_perplexity(docs).collect()}
+
+    lp_ab, lp_ba = math.log2(2 / 3), math.log2(1 / 2)
+    avg1 = (2 * lp_ab + lp_ba) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(round(avg1, 6), abs=1e-6)
+    assert out[1]["perplexity"] == pytest.approx(round(2 ** -avg1, 6),
+                                                 abs=1e-6)
+    # doc 2 is pure "a b": ppl = 1/P(b|a) = 3/2 exactly
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["perplexity"] == pytest.approx(1.5, abs=1e-6)
+    # <2 tokens: no bigrams, null scores
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["avg_logprob"] is None and out[3]["perplexity"] is None
+
+    # templated boilerplate scores lower perplexity than shuffled noise
+    boiler = [(i, "click here to accept cookies and continue reading")
+              for i in range(10)]
+    noise = [(100 + i, t) for i, t in enumerate(
+        ["zx qv jw kf", "mn pl rt yu", "bg hd sc vn"])]
+    mixed = spark.createDataFrame(boiler + noise,
+                                  "doc_id long, text string")
+    ppl = {r["doc_id"]: r["perplexity"]
+           for r in textstats.lm_perplexity(mixed).collect()}
+    assert max(ppl[i] for i in range(10)) < min(ppl[100 + i]
+                                                for i in range(3))

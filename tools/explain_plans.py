@@ -323,6 +323,20 @@ def main() -> int:
         "profile is one groupBy(source) partial-agg to ≤#sources rows.",
         trim(p)))
 
+    p = plan_of(q["lm_perplexity"](spark, sf_dir))
+    check("lm_perplexity: no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p, "")
+    check("lm_perplexity: no cartesian product",
+          "CartesianProduct" not in p,
+          "the scalar vocab size must ride a broadcast, not a cartesian")
+    SECTIONS.append((
+        "lm_perplexity — in-corpus bigram-LM quality proxy (CCNet signal)",
+        "One explode to bigrams feeding two count aggregations (bigram- "
+        "and prefix-keyed), joined back on their own keys — skewed "
+        "stopword keys are AQE's skew-join case; the vocab-size scalar "
+        "broadcasts. Count tables are vocab-sized, not corpus-sized.",
+        trim(p)))
+
     p = plan_of(q["curate"](spark, sf_dir))
     check("curate: no Python anywhere",
           "BatchEvalPython" not in p and "MapInPandas" not in p,
