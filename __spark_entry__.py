@@ -186,6 +186,22 @@ def q_dedup_segments(spark, sf_dir):
                          width=3, max_df=2)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-run incremental dedup: docs with doc_id % 3 != 0 stand in
+    for the already-ingested corpus (its dedup_store of content hashes
+    + LSH band buckets); the % 3 == 0 batch is verdicted against that
+    store as exact / near / new without rescanning the corpus text."""
+    from graphrag_rs_spark.operators.dedup import (dedup_store,
+                                                   incremental_dedup)
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    sh, sb = dedup_store(seen, "doc_id", "text",
+                         k=5, num_hashes=16, bands=8)
+    return incremental_dedup(new, sh, sb, "doc_id", "text",
+                             k=5, num_hashes=16, bands=8)
+
+
 def q_token_stats(spark, sf_dir):
     from graphrag_rs_spark.operators.textstats import token_stats
     return token_stats(_docs(spark, sf_dir), "doc_id", "text")
@@ -885,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_segments": q_dedup_segments,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -1143,6 +1160,35 @@ def oracle_sql() -> dict[str, str]:
           on a.band = b.band and a.band_key = b.band_key
           and a.doc_id < b.doc_id
         group by 1, 2
+    """
+
+    sql["dedup_incremental"] = f"""
+        with {_sig_cte},
+        bands as (
+          select doc_id, (hash_idx // 2) as band,
+                 {h.format(x="string_agg(lpad(hash_idx::VARCHAR, 2, '0') || ':' || minhash::VARCHAR, ',' order by lpad(hash_idx::VARCHAR, 2, '0') || ':' || minhash::VARCHAR)")} as band_key
+          from sig group by doc_id, hash_idx // 2),
+        hashes as (
+          select doc_id, {h.format(x=_NT)} as text_hash from documents),
+        exact as (
+          select n.doc_id,
+                 exists (select 1 from hashes s
+                         where s.doc_id % 3 <> 0
+                           and s.text_hash = n.text_hash) as is_exact_dup
+          from hashes n where n.doc_id % 3 = 0),
+        seen_b as (select distinct band, band_key from bands
+                   where doc_id % 3 <> 0),
+        hits as (
+          select b.doc_id, count(*)::INT as n_band_hits
+          from bands b join seen_b s using (band, band_key)
+          where b.doc_id % 3 = 0
+          group by b.doc_id)
+        select e.doc_id, e.is_exact_dup,
+               coalesce(t.n_band_hits, 0)::INT as n_band_hits,
+               case when e.is_exact_dup then 'exact'
+                    when coalesce(t.n_band_hits, 0) > 0 then 'near'
+                    else 'new' end as verdict
+        from exact e left join hits t using (doc_id)
     """
 
     sql["dedup_clusters"] = f"""

@@ -95,7 +95,9 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
     # --- operator suite over the driver-provided sf tables ---
     q = entry.queries()
     for name in ("dedup_exact", "dedup_minhash", "dedup_lsh_pairs",
-                 "dedup_clusters", "dedup_simhash", "token_stats",
+                 "dedup_clusters", "dedup_segments", "dedup_incremental",
+                 "dedup_simhash",
+                 "lm_perplexity", "token_stats",
                  "quality_scores",
                  "language_id", "fingerprints", "tfidf_topk", "bm25",
                  "embedding_knn", "ann_ivf", "embedding_centroids",

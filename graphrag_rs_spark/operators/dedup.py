@@ -158,6 +158,31 @@ def minhash_signatures(
     )
 
 
+def _band_table(docs: DataFrame, id_col: str, text_col: str,
+                k: int, num_hashes: int, bands: int) -> DataFrame:
+    """→ (doc_id, band, band_key): LSH band hashes of the minhash
+    signature, shared by within-corpus pair generation
+    (minhash_lsh_pairs) and cross-run incremental dedup."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}): a remainder would silently form an undersized "
+            "extra band with different collision probability")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
+    return (
+        sig.withColumn("band",
+                       F.floor(F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(h60(F.concat_ws(
+            ",", F.sort_array(F.collect_list(
+                F.concat_ws(":", F.lpad(F.col("hash_idx").cast("string"),
+                                        2, "0"),
+                            F.col("minhash").cast("string")))))
+        ).alias("band_key"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -171,24 +196,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands; a pair collides if any band of
     its signatures is identical.  n_bands = how many bands matched.
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by bands "
-            f"({bands}): a remainder would silently form an undersized "
-            "extra band with different collision probability")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, num_hashes)
-    band_hash = (
-        sig.withColumn("band",
-                       F.floor(F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(h60(F.concat_ws(
-            ",", F.sort_array(F.collect_list(
-                F.concat_ws(":", F.lpad(F.col("hash_idx").cast("string"),
-                                        2, "0"),
-                            F.col("minhash").cast("string")))))
-        ).alias("band_key"))
-    )
+    band_hash = _band_table(docs, id_col, text_col, k, num_hashes, bands)
     a, b = band_hash.alias("a"), band_hash.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -334,3 +342,89 @@ def segment_dedup(
                            F.struct("seg_idx", "seg")))),
                 lambda s: s["seg"]),
             " ").alias("clean_text"))
+
+
+def dedup_store(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (seen_hashes, seen_bands): the persistent dedup state of an
+    already-ingested corpus, for `incremental_dedup` of later batches.
+
+      seen_hashes  (text_hash)        distinct exact-content hashes
+      seen_bands   (band, band_key)   distinct LSH band buckets
+
+    Both are content-keyed and duplicate-free, so the store grows with
+    the corpus's DISTINCT content, not its row count.  At 100 TB the
+    store should be written bucketed by its join key (text_hash /
+    (band, band_key)) so each incremental run's probe joins are
+    co-located, shuffle-free scans of only the matching buckets.
+    """
+    hashes = corpus.select(
+        h60(norm_text(text_col)).alias("text_hash")).distinct()
+    band_t = (_band_table(corpus, id_col, text_col, k, num_hashes, bands)
+              .select("band", "band_key").distinct())
+    return hashes, band_t
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    seen_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """→ (doc_id, is_exact_dup, n_band_hits, verdict) per NEW-batch doc:
+    cross-run dedup of an incoming batch against the dedup_store of
+    everything ingested before — the continuous-ingestion path, where
+    re-scanning the full corpus per batch is not an option.
+
+      verdict = 'exact'  content hash already in seen_hashes
+                'near'   ≥1 LSH band collides with seen_bands
+                'new'    neither
+
+    n_band_hits counts the new doc's bands found in the store (≤ bands;
+    the store is distinct, so multiple seen docs sharing a bucket count
+    once).  Store-relative by design: duplicates WITHIN the new batch
+    are the existing exact_duplicates / minhash_lsh_pairs operators'
+    job.  Band parameters must match the store's or collisions are
+    meaningless — same (k, num_hashes, bands) as dedup_store.
+
+    Scale shape: two probe joins, each keyed on the content-derived
+    store key (text_hash; band+band_key) — uniform partitioning by
+    construction, batch side small relative to the store, so AQE
+    broadcasts the batch or (with a bucketed store, see dedup_store)
+    the probes are co-located scans.  No stage touches the seen corpus
+    text itself.
+    """
+    hashed = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        h60(norm_text(text_col)).alias("text_hash"))
+    exact = hashed.join(
+        seen_hashes.select("text_hash").distinct()
+        .withColumn("_seen", F.lit(1)),
+        "text_hash", "left")
+    new_bands = _band_table(new_docs, id_col, text_col,
+                            k, num_hashes, bands)
+    hits = (
+        new_bands.join(seen_bands.select("band", "band_key").distinct(),
+                       ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_band_hits")))
+    out = exact.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("_seen").isNotNull().alias("is_exact_dup"),
+        F.coalesce("n_band_hits", F.lit(0)).cast("int")
+        .alias("n_band_hits"))
+    return out.select(
+        "doc_id", "is_exact_dup", "n_band_hits",
+        F.when(F.col("is_exact_dup"), F.lit("exact"))
+        .when(F.col("n_band_hits") > 0, F.lit("near"))
+        .otherwise(F.lit("new")).alias("verdict"))

@@ -492,3 +492,37 @@ def test_lm_perplexity_golden(spark):
            for r in textstats.lm_perplexity(mixed).collect()}
     assert max(ppl[i] for i in range(10)) < min(ppl[100 + i]
                                                 for i in range(3))
+
+
+def test_incremental_dedup(spark):
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet green field until sunset"),
+         (2, "entirely unrelated seen document about distributed query "
+             "engines and columnar storage formats")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog and keeps "
+              "running through the quiet green field until sunset"),
+         (11, "the quick brown fox jumps over the lazy dog and keeps "
+              "sprinting through the quiet green field until sunset"),
+         (12, "completely novel content with no overlap whatsoever "
+              "zebra quantum harmonica")],
+        "doc_id long, text string")
+    sh, sb = dedup.dedup_store(seen)
+    out = {r["doc_id"]: r for r in
+           dedup.incremental_dedup(new, sh, sb).collect()}
+    assert out[10]["verdict"] == "exact" and out[10]["is_exact_dup"]
+    # identical text -> every band collides
+    assert out[10]["n_band_hits"] == 8
+    # one-word change: not exact, but some bands survive
+    assert out[11]["verdict"] == "near" and not out[11]["is_exact_dup"]
+    assert 1 <= out[11]["n_band_hits"] <= 8
+    assert out[12]["verdict"] == "new" and out[12]["n_band_hits"] == 0
+
+    # store distinctness: duplicating the seen corpus must not inflate
+    # band-hit counts
+    sh2, sb2 = dedup.dedup_store(seen.union(seen))
+    out2 = {r["doc_id"]: r["n_band_hits"] for r in
+            dedup.incremental_dedup(new, sh2, sb2).collect()}
+    assert out2 == {k: v["n_band_hits"] for k, v in out.items()}

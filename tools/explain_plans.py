@@ -323,6 +323,19 @@ def main() -> int:
         "profile is one groupBy(source) partial-agg to ≤#sources rows.",
         trim(p)))
 
+    p = plan_of(q["dedup_incremental"](spark, sf_dir))
+    check("dedup_incremental: no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p, "")
+    check("dedup_incremental: no cartesian product",
+          "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "dedup_incremental — new batch vs persisted dedup store",
+        "Two probe joins keyed on the store's own content keys "
+        "(text_hash; band+band_key) — never a rescan of the seen "
+        "corpus text; with a bucketed store the probes are co-located "
+        "scans. Batch-side band computation is the shared _band_table "
+        "(one doc_id-keyed agg).", trim(p)))
+
     p = plan_of(q["lm_perplexity"](spark, sf_dir))
     check("lm_perplexity: no Python",
           "BatchEvalPython" not in p and "MapInPandas" not in p, "")
