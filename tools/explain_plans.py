@@ -323,6 +323,19 @@ def main() -> int:
         "profile is one groupBy(source) partial-agg to ≤#sources rows.",
         trim(p)))
 
+    p = plan_of(q["dedup_segments"](spark, sf_dir))
+    check("dedup_segments: no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p, "")
+    check("dedup_segments: no cartesian product",
+          "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "dedup_segments — corpus-wide repeated-segment removal",
+        "posexplode → (doc_id, seg_idx)-keyed rebuild agg → segment-text-"
+        "keyed frequency agg → join back on the segment text → ordered "
+        "per-doc rebuild. All keys content- or doc-derived (uniform "
+        "partitioning); the frequency table is distinct-segment sized.",
+        trim(p)))
+
     p = plan_of(q["dedup_incremental"](spark, sf_dir))
     check("dedup_incremental: no Python",
           "BatchEvalPython" not in p and "MapInPandas" not in p, "")
