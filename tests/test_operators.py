@@ -196,6 +196,38 @@ def test_ivf_partial_probe_bounded(vecs):
     assert rows[0]["vec_id"] == 0     # own list always probed first
 
 
+def test_ivf_recall_floor_on_clustered_data(spark):
+    """Recall regression on a deterministic clustered corpus: 8 tight
+    clusters of 25 points (dim 8), probe half the lists → recall@10 must
+    hold the floor the module doc quotes for probe frac 0.5 (measured
+    0.76-0.85 on the repo's WEAKLY-clustered sf0.1 testdata; tightly
+    clustered data like this sits above it)."""
+    import math
+    dim, n_clusters, per = 8, 8, 25
+    rows = []
+    for c in range(n_clusters):
+        center = [math.sin(7 * c + j) for j in range(dim)]
+        for i in range(per):
+            # deterministic small perturbation, |eps| ≤ 0.1 << cluster gap
+            vec = [center[j] + 0.1 * math.sin(13 * (c * per + i) + 3 * j)
+                   for j in range(dim)]
+            rows.append((c * per + i, [float(v) for v in vec], c))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    queries = corpus.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    k = 10
+    exact, approx = {}, {}
+    for r in similarity.cosine_topk(corpus, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in similarity.ivf_topk(corpus, queries, k=k,
+                                 n_lists=8, n_probe=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.75, f"recall@{k} = {hits / total:.3f}"
+
+
 def test_hash_embeddings_unit_norm_and_deterministic(spark):
     from graphrag_rs_spark.functions.embeddings import (hash_embeddings,
                                                         pack_embeddings)
