@@ -174,6 +174,51 @@ def test_near_dup_blocked_is_subset_of_exact(vecs):
     assert blocked <= exact
 
 
+def test_near_dup_banding_lifts_recall_precision_stays_exact(spark):
+    """OR-amplification: more bands → recall grows monotonically toward
+    1.0 while every returned pair stays a true pair (scoring is exact
+    cosine, so precision is 1.0 by construction)."""
+    import math
+    dim = 16
+    rows = []
+    # 40 base vectors + a perturbed near-dup of each (high-sim pairs)
+    for i in range(40):
+        base = [math.sin(11 * i + j) for j in range(dim)]
+        pert = [x + 0.15 * math.sin(17 * i + 5 * j)
+                for j, x in enumerate(base)]
+        rows.append((2 * i, [float(x) for x in base], i))
+        rows.append((2 * i + 1, [float(x) for x in pert], i))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    thr = 0.9
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.near_dup_pairs(vecs, threshold=thr).collect()}
+    assert len(exact) >= 30           # the construction yields real pairs
+    recalls = []
+    for bands in (1, 4, 16):
+        got = {(r["id_a"], r["id_b"]) for r in
+               similarity.near_dup_pairs(vecs, threshold=thr, n_planes=6,
+                                         n_bands=bands).collect()}
+        assert got <= exact           # precision 1.0 at every band count
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)          # monotone in bands
+    assert recalls[-1] >= 0.9                  # 16 bands ≈ full recall
+    assert recalls[-1] > recalls[0]            # banding actually helps
+
+
+def test_banded_lsh_buckets_shape_and_band_independence(vecs):
+    bk = similarity.banded_lsh_buckets(vecs, n_planes=4, n_bands=3)
+    rows = bk.collect()
+    assert len(rows) == 5 * 3                  # one row per (vec, band)
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], {})[r["vec_id"]] = r["bucket"]
+    assert set(by_band) == {0, 1, 2}
+    # bands use independent hyperplanes: not all bucket maps identical
+    maps = [tuple(sorted(m.items())) for m in by_band.values()]
+    assert len(set(maps)) > 1
+
+
 def test_ivf_full_probe_equals_exact(vecs):
     """Probing every list makes IVF scan everything → exact top-k."""
     q = vecs.filter(F.col("vec_id") < 2).select(
