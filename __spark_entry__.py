@@ -417,6 +417,23 @@ def q_embedding_near_dup(spark, sf_dir):
     return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+_ND_BANDED = {"n_planes": 4, "n_bands": 8, "threshold": 0.4}
+
+
+def q_near_dup_banded(spark, sf_dir):
+    """The LSH-BLOCKED near-dup path itself, value-verified: banded
+    sign-sketch candidate generation (4 planes × 8 bands, deterministic
+    md5-derived hyperplanes baked into the plan) + exact-cosine rescore.
+    The DuckDB oracle replays every bucket bit with the same plane-sign
+    literals, so the approximate path's exact output is hash-checked —
+    not just its exact-path superset."""
+    from graphrag_rs_spark.operators.similarity import near_dup_pairs
+    return near_dup_pairs(_emb(spark, sf_dir),
+                          threshold=_ND_BANDED["threshold"],
+                          n_planes=_ND_BANDED["n_planes"],
+                          n_bands=_ND_BANDED["n_bands"])
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: hash-seeded coarse quantizer + 1 Lloyd step, probe 2/4 lists."""
     from graphrag_rs_spark.operators.similarity import ivf_topk
@@ -920,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_banded": q_near_dup_banded,
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "knn_cc": q_knn_cc,
@@ -1743,6 +1761,42 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(b.vv, b.vv))), 6) as sim
               from v a join v b on a.vec_id < b.vec_id)
         select id_a, id_b, sim from s where sim >= 0.4
+    """
+
+    # near_dup_banded oracle: replay the banded sign-LSH buckets with the
+    # SAME md5-derived ±1 plane literals the Spark plan bakes in
+    # (similarity.plane_signs), band b seeded "rhp:b"; bucket bit p set
+    # iff round(dot(v, plane), 6) >= 0 (the repo's round-before-threshold
+    # invariant makes the sign replayable across engines).  Candidates =
+    # distinct same-(band, bucket) pairs; rescore = exact cosine.
+    from graphrag_rs_spark.operators.similarity import plane_signs as _ps
+    _nd_dim = 64                      # testdata embeddings are 64-dim
+    _nd_bucket_rows = []
+    for _b in range(_ND_BANDED["n_bands"]):
+        _bits = " + ".join(
+            f"(case when round(list_dot_product(vv, "
+            f"{[float(s) for s in _sg]}::DOUBLE[]), 6) >= 0 "
+            f"then {1 << _p} else 0 end)"
+            for _p, _sg in enumerate(
+                _ps(_ND_BANDED["n_planes"], _nd_dim, f"rhp:{_b}")))
+        _nd_bucket_rows.append(
+            f"select vec_id, {_b} as band, {_bits} as bucket from v")
+    sql["near_dup_banded"] = f"""
+        with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+        bk as ({" union all ".join(_nd_bucket_rows)}),
+        cand as (select distinct a.vec_id as id_a, b.vec_id as id_b
+                 from bk a join bk b
+                   on a.band = b.band and a.bucket = b.bucket
+                  and a.vec_id < b.vec_id),
+        s as (select id_a, id_b,
+                     round(list_dot_product(x.vv, y.vv)
+                         / (sqrt(list_dot_product(x.vv, x.vv))
+                            * sqrt(list_dot_product(y.vv, y.vv))), 6) as sim
+              from cand
+              join v x on x.vec_id = cand.id_a
+              join v y on y.vec_id = cand.id_b)
+        select id_a, id_b, sim from s
+        where sim >= {_ND_BANDED["threshold"]}
     """
 
     # IVF oracle mirrors similarity.ivf_topk exactly: hash-chosen seeds,

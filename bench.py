@@ -100,7 +100,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "lm_perplexity", "token_stats",
                  "quality_scores",
                  "language_id", "fingerprints", "tfidf_topk", "bm25",
-                 "embedding_knn", "ann_ivf", "embedding_centroids",
+                 "embedding_knn", "ann_ivf", "near_dup_banded",
+                 "embedding_centroids",
                  "graph_degree",
                  "pagerank", "events_hourly", "sessions",
                  "conflict_merge", "sage_embeddings", "rograg_fuzzy",

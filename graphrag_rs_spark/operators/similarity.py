@@ -199,7 +199,11 @@ def banded_lsh_buckets(vectors: DataFrame, n_planes: int = 8,
             proj = F.aggregate(
                 F.zip_with(F.col("vv"), plane, lambda x, s: x * s),
                 F.lit(0.0), lambda acc, val: acc + val)
-            bucket = bucket + F.when(proj >= 0,
+            # repo invariant: round BEFORE the sign threshold, so an
+            # external engine summing the same doubles in a different
+            # order can never flip a bit on an epsilon-of-zero projection
+            # (the near_dup_banded contract oracle replays these buckets)
+            bucket = bucket + F.when(F.round(proj, 6) >= 0,
                                      F.lit(1 << p)).otherwise(F.lit(0))
         per_band.append(F.struct(F.lit(band).alias("band"),
                                  bucket.cast("bigint").alias("bucket")))

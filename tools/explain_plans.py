@@ -349,6 +349,20 @@ def main() -> int:
         "scans. Batch-side band computation is the shared _band_table "
         "(one doc_id-keyed agg).", trim(p)))
 
+    p = plan_of(q["near_dup_banded"](spark, sf_dir))
+    check("near_dup_banded: no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p, "")
+    check("near_dup_banded: no cartesian product",
+          "CartesianProduct" not in p,
+          "candidates must come from the (band, bucket) equi-join")
+    SECTIONS.append((
+        "near_dup_banded — banded sign-LSH blocked near-dup pairs",
+        "One scan computes all 8 band buckets (plane-sign literals baked "
+        "into codegen), candidates from a (band, bucket) equi-join + "
+        "distinct, exact-cosine rescore joins back on the id keys — "
+        "candidate volume ~n_bands·n²/2^n_planes, never all pairs.",
+        trim(p)))
+
     p = plan_of(q["lm_perplexity"](spark, sf_dir))
     check("lm_perplexity: no Python",
           "BatchEvalPython" not in p and "MapInPandas" not in p, "")
