@@ -417,6 +417,15 @@ def q_embedding_near_dup(spark, sf_dir):
     return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (the ANN blocking table):
+    8 deterministic md5-derived ±1 hyperplanes baked into the plan, one
+    scan, bucket = the 8 sign bits.  The DuckDB oracle replays every
+    projection from the same literals."""
+    from graphrag_rs_spark.operators.similarity import lsh_buckets
+    return lsh_buckets(_emb(spark, sf_dir), n_planes=8)
+
+
 _ND_BANDED = {"n_planes": 4, "n_bands": 8, "threshold": 0.4}
 
 
@@ -938,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_banded": q_near_dup_banded,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "knn_cc": q_knn_cc,
@@ -1761,6 +1771,19 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(b.vv, b.vv))), 6) as sim
               from v a join v b on a.vec_id < b.vec_id)
         select id_a, id_b, sim from s where sim >= 0.4
+    """
+
+    # ann_lsh_buckets oracle: replay the 8 hyperplane sign bits from the
+    # same md5-derived ±1 literals (seed "rhp", similarity.plane_signs)
+    from graphrag_rs_spark.operators.similarity import plane_signs as _ps0
+    _lsh_bits = " + ".join(
+        f"(case when round(list_dot_product(vv, "
+        f"{[float(s) for s in _sg]}::DOUBLE[]), 6) >= 0 "
+        f"then {1 << _p} else 0 end)"
+        for _p, _sg in enumerate(_ps0(8, 64, "rhp")))
+    sql["ann_lsh_buckets"] = f"""
+        with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings)
+        select vec_id, ({_lsh_bits})::BIGINT as bucket from v
     """
 
     # near_dup_banded oracle: replay the banded sign-LSH buckets with the

@@ -72,7 +72,6 @@ def bench_kg(spark, kg_convs: int, parallelism: int,
 
 def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
     import __spark_entry__ as entry
-    from graphrag_rs_spark.operators.similarity import lsh_buckets
 
     timings: dict[str, float] = {}
 
@@ -109,10 +108,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "graph_evolution", "top_growing", "node2vec_walks",
                  "repetition_stats", "contamination", "pack_bins",
                  "scrub_pii", "sample_split", "source_stats",
-                 "token_budget", "curate"):
+                 "token_budget", "curate", "ann_lsh_buckets"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
-    run("ann_lsh_buckets", lambda: _noop(lsh_buckets(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))))
     return timings
 
 

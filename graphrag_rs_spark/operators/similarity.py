@@ -169,7 +169,10 @@ def lsh_buckets(vectors: DataFrame, n_planes: int = 8,
         plane = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(F.zip_with(F.col("vv"), plane, lambda x, s: x * s),
                            F.lit(0.0), lambda acc, val: acc + val)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        # round before the sign threshold (repo invariant; same rationale
+        # as banded_lsh_buckets — keeps buckets replayable cross-engine)
+        bucket = bucket + F.when(F.round(proj, 6) >= 0,
+                                 F.lit(1 << p)).otherwise(F.lit(0))
     return v.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
