@@ -95,6 +95,52 @@ def extract_features(
     return src.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
 
 
+def resize_array(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an HxWxC array — pure numpy index
+    sampling (pixel center mapping), no imaging library needed; only the
+    DECODE step is environment-stubbed, the resize math is real."""
+    h, w = img.shape[0], img.shape[1]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int),
+                      h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int),
+                      w - 1)
+    return img[rows][:, cols]
+
+
+RESIZED_SCHEMA = ("media_id string, height int, width int, "
+                  "payload binary")
+
+
+def resize_images(media: DataFrame, out_h: int = 2, out_w: int = 2,
+                  fake: bool = True) -> DataFrame:
+    """image rows → (media_id, height, width, payload): decoded, resized
+    (real nearest-neighbor math), re-emitted as raw HxWxC bytes.
+
+    Arrow-batched `mapInPandas`, same batch shape as extract_features;
+    decode rides the environment stub (`decode_image`), so with
+    fake=False this raises until a real codec library is present —
+    the task-sanctioned posture for this container.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, payloads = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload or b""), fake=fake)
+                out = resize_array(img, out_h, out_w)
+                ids.append(mid)
+                hs.append(int(out.shape[0]))
+                ws.append(int(out.shape[1]))
+                payloads.append(bytearray(out.astype(np.uint8).tobytes()))
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "height": hs,
+                                    "width": ws, "payload": payloads})
+
+    src = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload")
+    return src.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: (media_id, frame_idx, ts_ms) rows.
 

@@ -53,3 +53,33 @@ def test_payload_partitioning(media):
     out = mm.payload_partitions(media, target_mb=1)
     assert out.count() == 48
     assert set(out.columns) == set(media.columns)
+
+
+def test_resize_array_nearest_neighbor_exact():
+    import numpy as np
+    # 4x4 single-channel ramp: resize 4->2 picks pixel centers (rows 1, 3)
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = mm.resize_array(img, 2, 2)
+    assert out.shape == (2, 2, 1)
+    assert out[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # upscale 2->4 repeats each source pixel twice
+    small = np.array([[[1], [2]], [[3], [4]]], dtype=np.uint8)
+    up = mm.resize_array(small, 4, 4)
+    assert up[:, :, 0].tolist() == [[1, 1, 2, 2], [1, 1, 2, 2],
+                                    [3, 3, 4, 4], [3, 3, 4, 4]]
+
+
+def test_resize_images_plumbing(media):
+    import numpy as np
+    out = {r["media_id"]: r for r in
+           mm.resize_images(media, out_h=2, out_w=2).collect()}
+    srcs = {r["media_id"]: bytes(r["payload"])
+            for r in media.filter("kind = 'image'").collect()}
+    assert set(out) == set(srcs)          # one row per image, none lost
+    for mid, r in out.items():
+        assert (r["height"], r["width"]) == (2, 2)
+        assert len(bytes(r["payload"])) == 2 * 2 * 3
+        # byte-exact vs the same kernel run locally (partition-invariant)
+        want = mm.resize_array(
+            mm.decode_image(srcs[mid], fake=True), 2, 2)
+        assert bytes(r["payload"]) == want.astype(np.uint8).tobytes()
