@@ -487,6 +487,73 @@ def _cust_supp_edges(spark, sf_dir):
                               F.col("src").alias("dst")))
 
 
+def q_community_reports(spark, sf_dir):
+    """G9/G10 extractive community reports (reference graph/leiden.rs:
+    146-199, :571-628): per community, top-5 names per entity type by
+    mention count, top-2 title, intra-community edge count, rank = size.
+    Driven by a formula-derived synthetic graph over the documents table
+    (doc_id is contiguous 0..N-1) so the DuckDB oracle replays the whole
+    aggregation pipeline — windows, ordered string_agg, internal-edge
+    join — value-exactly."""
+    from graphrag_rs_spark.stages.reports import community_reports
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    base = d.select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.concat(F.lit("E"), F.col("doc_id").cast("string"))
+        .alias("entity_id"),
+        F.col("source").alias("name"),
+        F.col("lang").alias("entity_type"),
+        ((F.col("doc_id") * 13) % 101).cast("long").alias("mention_count"))
+    entities = base.select("entity_id", "name", "entity_type",
+                           "mention_count")
+    communities = base.select(
+        "entity_id", F.lit(0).alias("level"),
+        (F.col("i") % 37).alias("community"))
+    triples = base.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("REL").alias("pred"),
+        F.concat(F.lit("E"), ((F.col("i") * 7 + 3) % n).cast("string"))
+        .alias("obj"))
+    out = community_reports(communities, entities, triples, min_size=2)
+    return out.select(
+        F.col("community_id").cast("long").alias("community_id"),
+        F.col("level").cast("int").alias("level"),
+        F.col("size").cast("long").alias("size"),
+        F.col("n_internal_edges").cast("long").alias("n_internal_edges"),
+        "title", "summary", F.round("rank", 6).alias("rank"))
+
+
+def _ring_edges(spark, sf_dir):
+    """Deterministic triangle-rich graph over the embeddings ids: edges
+    (i, i+1), (i, i+2), (i, 2i+1) mod N — every consecutive triple closes
+    a triangle, the 2i+1 chord varies degree, both engines replay the
+    formula exactly."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    ids = emb.select(F.col("vec_id").cast("long").alias("i"))
+    parts = [ids.select(F.col("i").alias("src"),
+                        ((F.col("i") + d) % n).alias("dst"))
+             for d in (1, 2)]
+    parts.append(ids.select(F.col("i").alias("src"),
+                            ((F.col("i") * 2 + 1) % n).alias("dst")))
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """G8 local clustering coefficient (reference graph/analytics.rs:
+    416-497): 2·triangles / (deg·(deg-1)) per node via the wedge
+    self-join + closure semi-join, over the deterministic ring+chord
+    graph.  DuckDB oracle replays wedges/closure/degree exactly."""
+    from graphrag_rs_spark.algos.traversal import clustering_coefficient
+    out = clustering_coefficient(_ring_edges(spark, sf_dir))
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.round("clustering", 6).alias("clustering"))
+
+
 def q_graph_degree(spark, sf_dir):
     edges = _cust_supp_edges(spark, sf_dir)
     return edges.groupBy(F.col("src").alias("node")).agg(
@@ -952,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "knn_cc": q_knn_cc,
         "graph_degree": q_graph_degree,
+        "clustering_coeff": q_clustering_coeff,
+        "community_reports": q_community_reports,
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
         "pagerank_warm": q_pagerank_warm,
@@ -1907,6 +1976,124 @@ def oracle_sql() -> dict[str, str]:
                     from orders join lineitem on o_orderkey = l_orderkey),
         e as (select src, dst from e0 union select dst, src from e0)
         select src as node, count(*) as degree from e group by src
+    """
+
+    # community_reports oracle: same formula-derived graph, then the
+    # report pipeline — top-5-per-type window, ordered string_agg for
+    # the summary/type lines/title, distinct-pair internal-edge join,
+    # rank = size — mirroring stages/reports.community_reports exactly.
+    sql["community_reports"] = """
+        with nn as (select count(*)::BIGINT as c from documents),
+        base as (
+          select doc_id::BIGINT as i,
+                 'E' || doc_id as entity_id,
+                 source as name,
+                 lang as entity_type,
+                 (doc_id * 13) % 101 as mention_count,
+                 doc_id % 37 as community,
+                 0 as level
+          from documents
+        ),
+        triples as (
+          select entity_id as subj,
+                 'E' || ((i * 7 + 3) % c) as obj
+          from base, nn
+        ),
+        sizes as (
+          select community, level, count(*)::BIGINT as size
+          from base group by community, level
+        ),
+        internal as (
+          select s.community, s.level,
+                 count(*)::BIGINT as n_internal_edges
+          from (select distinct subj, obj from triples) t
+          join base s on s.entity_id = t.subj
+          join base o on o.entity_id = t.obj
+          where s.community = o.community and s.level = o.level
+          group by s.community, s.level
+        ),
+        ranked as (
+          select *, row_number() over (
+                   partition by community, level, entity_type
+                   order by mention_count desc, name asc) as rn
+          from base
+        ),
+        per_type as (
+          select community, level, entity_type,
+                 string_agg(name, ', '
+                   order by mention_count desc, name asc) as names
+          from ranked where rn <= 5
+          group by community, level, entity_type
+        ),
+        type_lines as (
+          select community, level,
+                 string_agg(entity_type || ': ' || names, '; '
+                   order by entity_type || ': ' || names) as summary
+          from per_type group by community, level
+        ),
+        ranked_all as (
+          select *, row_number() over (
+                   partition by community, level
+                   order by mention_count desc, name asc) as rn
+          from base
+        ),
+        titles as (
+          select community, level,
+                 string_agg(name, ' & ' order by name) as title
+          from ranked_all where rn <= 2
+          group by community, level
+        )
+        select sizes.community as community_id,
+               sizes.level::INT as level, size,
+               coalesce(n_internal_edges, 0) as n_internal_edges,
+               title, summary,
+               round(size::DOUBLE, 6) as rank
+        from sizes
+        join titles on titles.community = sizes.community
+                   and titles.level = sizes.level
+        join type_lines on type_lines.community = sizes.community
+                       and type_lines.level = sizes.level
+        left join internal on internal.community = sizes.community
+                          and internal.level = sizes.level
+        where size >= 2
+    """
+
+    # clustering_coeff oracle: the same ring+chord graph formula, then
+    # wedge self-join + EXISTS closure + degree — mirrors
+    # algos/traversal.clustering_coefficient step for step.
+    sql["clustering_coeff"] = """
+        with nn as (select count(*)::BIGINT as c from embeddings),
+        ids as (select vec_id::BIGINT as i from embeddings),
+        e0 as (
+          select i as src, (i + 1) % c as dst from ids, nn
+          union all
+          select i, (i + 2) % c from ids, nn
+          union all
+          select i, (i * 2 + 1) % c from ids, nn
+        ),
+        und as (
+          select distinct src, dst from (
+            select src, dst from e0
+            union all
+            select dst, src from e0
+          ) where src <> dst
+        ),
+        deg as (select src as node, count(*) as deg from und group by src),
+        wed as (
+          select a.src as center, a.dst as u, b.dst as v
+          from und a join und b on a.src = b.src and a.dst < b.dst
+        ),
+        tri as (
+          select center, count(*) as t from wed
+          where exists (select 1 from und s
+                        where s.src = wed.u and s.dst = wed.v)
+          group by center
+        )
+        select deg.node as node,
+               round(case when deg >= 2
+                     then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
+                     else 0.0 end, 6) as clustering
+        from deg left join tri on tri.center = deg.node
     """
 
     sql["concept_pairs"] = f"""
