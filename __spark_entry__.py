@@ -487,6 +487,23 @@ def _cust_supp_edges(spark, sf_dir):
                               F.col("src").alias("dst")))
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Q12 Reciprocal Rank Fusion (reference reranking/cross_encoder.rs;
+    HOW_IT_WORKS.md:870): fuse the BM25 top-20 with a doc-length top-20,
+    fused(d) = Σ 1/(60 + rank).  Both input rankings and the fusion are
+    replayed by the DuckDB oracle (the BM25 CTE is embedded verbatim)."""
+    from graphrag_rs_spark.retrieval.bm25 import bm25_scores
+    from graphrag_rs_spark.retrieval.fusion import rrf_fuse
+    d = _docs(spark, sf_dir)
+    a = bm25_scores(d, BM25_QUERY, "doc_id", "text", top_k=20)
+    b = (d.select("doc_id",
+                  F.col("n_chars").cast("double").alias("score"))
+         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+         .limit(20))
+    out = rrf_fuse([a, b], k=60, top_k=25)
+    return out.select(F.col("id").cast("long").alias("id"), "rrf_score")
+
+
 def q_community_reports(spark, sf_dir):
     """G9/G10 extractive community reports (reference graph/leiden.rs:
     146-199, :571-628): per community, top-5 names per entity type by
@@ -1009,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
+        "rrf_fusion": q_rrf_fusion,
         "dual_retrieval": q_dual_retrieval,
         "hash_embeddings": q_hash_embeddings,
         "embedding_knn": q_embedding_knn,
@@ -1976,6 +1994,29 @@ def oracle_sql() -> dict[str, str]:
                     from orders join lineitem on o_orderkey = l_orderkey),
         e as (select src, dst from e0 union select dst, src from e0)
         select src as node, count(*) as degree from e group by src
+    """
+
+    # rrf_fusion oracle: embed the bm25 CTE verbatim as list A, doc
+    # length top-20 as list B, rank each with the same (score desc, id
+    # asc) tie-break, fuse 1/(60+rank), top-25.
+    sql["rrf_fusion"] = f"""
+        with bm as ( {sql["bm25"]} ),
+        ln_top as (
+          select doc_id, n_chars::DOUBLE as score from documents
+          order by score desc, doc_id asc limit 20
+        ),
+        ra as (select doc_id as id,
+                      1.0 / (60 + row_number() over
+                        (order by score desc, doc_id asc)) as rrf
+               from bm),
+        rb as (select doc_id as id,
+                      1.0 / (60 + row_number() over
+                        (order by score desc, doc_id asc)) as rrf
+               from ln_top),
+        u as (select * from ra union all select * from rb)
+        select id, round(sum(rrf), 8) as rrf_score
+        from u group by id
+        order by rrf_score desc, id asc limit 25
     """
 
     # community_reports oracle: same formula-derived graph, then the
