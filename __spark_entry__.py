@@ -487,6 +487,37 @@ def _cust_supp_edges(spark, sf_dir):
                               F.col("src").alias("dst")))
 
 
+def q_ego_net(spark, sf_dir):
+    """Q6/G6 ego network (reference traversal.rs:248): all edges whose
+    endpoints both lie within radius-2 of 'c1' on the customer-supplier
+    co-occurrence graph; oracle = recursive-CTE reach + endpoint
+    semi-joins."""
+    from graphrag_rs_spark.algos.traversal import ego_network
+    edges = _cust_supp_edges(spark, sf_dir)   # already bidirectional
+    return ego_network(edges, "c1", radius=2, directed=True) \
+        .select("src", "dst")
+
+
+def q_weighted_fusion(spark, sf_dir):
+    """Q5 adaptive weighted fusion (reference retrieval/mod.rs:687-749):
+    weighted union of two scored lists, per-id max fused score, source
+    provenance, deterministic top-k — replayed by the oracle with the
+    BM25 CTE embedded verbatim."""
+    from graphrag_rs_spark.retrieval.bm25 import bm25_scores
+    from graphrag_rs_spark.retrieval.fusion import weighted_fuse
+    d = _docs(spark, sf_dir)
+    a = bm25_scores(d, BM25_QUERY, "doc_id", "text", top_k=20)
+    b = (d.select("doc_id",
+                  (F.col("n_chars") / 1000.0).alias("score"))
+         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+         .limit(20))
+    out = weighted_fuse({"bm25": a, "length": b},
+                        {"bm25": 0.7, "length": 0.3}, top_k=25)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "fused_score",
+        F.concat_ws(",", "sources").alias("sources"))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Q12 Reciprocal Rank Fusion (reference reranking/cross_encoder.rs;
     HOW_IT_WORKS.md:870): fuse the BM25 top-20 with a doc-length top-20,
@@ -1027,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25": q_bm25,
         "rrf_fusion": q_rrf_fusion,
+        "weighted_fusion": q_weighted_fusion,
+        "ego_net": q_ego_net,
         "dual_retrieval": q_dual_retrieval,
         "hash_embeddings": q_hash_embeddings,
         "embedding_knn": q_embedding_knn,
@@ -2017,6 +2050,47 @@ def oracle_sql() -> dict[str, str]:
         select id, round(sum(rrf), 8) as rrf_score
         from u group by id
         order by rrf_score desc, id asc limit 25
+    """
+
+    # ego_net oracle: recursive reach ≤ 2 hops from 'c1' over the
+    # bidirectional co-occurrence edges, then both-endpoint membership.
+    sql["ego_net"] = """
+        with e0 as (
+          select distinct 'c' || cast(o_custkey as varchar) as src,
+                          's' || cast(l_suppkey as varchar) as dst
+          from orders join lineitem on o_orderkey = l_orderkey),
+        e as (select src, dst from e0
+              union select dst as src, src as dst from e0),
+        rec as (
+          with recursive r(node, lvl) as (
+            select 'c1', 0
+            union
+            select e.dst, r.lvl + 1 from r join e on e.src = r.node
+            where r.lvl < 2)
+          select distinct node from r)
+        select e.src, e.dst from e
+        where e.src in (select node from rec)
+          and e.dst in (select node from rec)
+    """
+
+    # weighted_fusion oracle: BM25 CTE verbatim (weight 0.7) ⊕ length
+    # ranking (weight 0.3), per-id max weighted score, sorted source
+    # provenance, deterministic top-25.
+    sql["weighted_fusion"] = f"""
+        with bm as ( {sql["bm25"]} ),
+        ln_top as (
+          select doc_id, n_chars / 1000.0 as score from documents
+          order by score desc, doc_id asc limit 20
+        ),
+        u as (
+          select doc_id as id, score * 0.7 as ws, 'bm25' as source from bm
+          union all
+          select doc_id, score * 0.3, 'length' from ln_top
+        )
+        select id, round(max(ws), 8) as fused_score,
+               string_agg(distinct source, ',' order by source) as sources
+        from u group by id
+        order by fused_score desc, id asc limit 25
     """
 
     # community_reports oracle: same formula-derived graph, then the

@@ -98,7 +98,7 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "dedup_simhash",
                  "lm_perplexity", "token_stats",
                  "quality_scores",
-                 "language_id", "fingerprints", "tfidf_topk", "bm25", "rrf_fusion",
+                 "language_id", "fingerprints", "tfidf_topk", "bm25", "rrf_fusion", "weighted_fusion", "ego_net",
                  "embedding_knn", "ann_ivf", "near_dup_banded",
                  "embedding_centroids",
                  "graph_degree", "clustering_coeff", "community_reports",
