@@ -518,6 +518,41 @@ def q_weighted_fusion(spark, sf_dir):
         F.concat_ws(",", "sources").alias("sources"))
 
 
+def q_graph_stats(spark, sf_dir):
+    """G13 graph statistics (reference graph/mod.rs:349-406): headline
+    counts + entities-per-type + avg relationships per entity over the
+    same formula-derived graph as community_reports; the per-type map is
+    flattened to a sorted 'type:count' string for cross-engine hashing."""
+    from graphrag_rs_spark.stages.materialize import graph_stats
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    base = d.select(
+        F.col("doc_id").cast("long").alias("i"),
+        F.concat(F.lit("E"), F.col("doc_id").cast("string"))
+        .alias("entity_id"),
+        F.col("lang").alias("entity_type"))
+    entities = base.select("entity_id", "entity_type")
+    triples = base.select(
+        F.col("entity_id").alias("subj"),
+        F.concat(F.lit("E"), ((F.col("i") * 7 + 3) % n).cast("string"))
+        .alias("obj"))
+    docs_side = d.select("source").distinct()
+    out = graph_stats(entities, triples, d, docs_side)
+    return out.select(
+        F.col("entity_count").cast("long").alias("entity_count"),
+        F.col("relationship_count").cast("long")
+        .alias("relationship_count"),
+        F.col("chunk_count").cast("long").alias("chunk_count"),
+        F.col("document_count").cast("long").alias("document_count"),
+        F.concat_ws(";", F.transform(
+            F.sort_array(F.map_entries("entities_per_type")),
+            lambda kv: F.concat(kv["key"], F.lit(":"),
+                                kv["value"].cast("string"))))
+        .alias("entities_per_type"),
+        F.round("avg_relationships_per_entity", 6)
+        .alias("avg_relationships_per_entity"))
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Q12 Reciprocal Rank Fusion (reference reranking/cross_encoder.rs;
     HOW_IT_WORKS.md:870): fuse the BM25 top-20 with a doc-length top-20,
@@ -1060,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "weighted_fusion": q_weighted_fusion,
         "ego_net": q_ego_net,
+        "graph_stats": q_graph_stats,
         "dual_retrieval": q_dual_retrieval,
         "hash_embeddings": q_hash_embeddings,
         "embedding_knn": q_embedding_knn,
@@ -2050,6 +2086,37 @@ def oracle_sql() -> dict[str, str]:
         select id, round(sum(rrf), 8) as rrf_score
         from u group by id
         order by rrf_score desc, id asc limit 25
+    """
+
+    # graph_stats oracle: same formula-derived graph; per-type counts as
+    # an ordered 'type:count' string; avg = relationships / entities.
+    sql["graph_stats"] = """
+        with nn as (select count(*)::BIGINT as c from documents),
+        base as (
+          select doc_id::BIGINT as i, 'E' || doc_id as entity_id,
+                 lang as entity_type
+          from documents
+        ),
+        triples as (
+          select entity_id as subj, 'E' || ((i * 7 + 3) % c) as obj
+          from base, nn
+        ),
+        per_type as (
+          select entity_type, count(*)::BIGINT as cnt
+          from base group by entity_type
+        )
+        select (select count(*)::BIGINT from base) as entity_count,
+               (select count(*)::BIGINT from triples)
+                 as relationship_count,
+               (select count(*)::BIGINT from documents) as chunk_count,
+               (select count(distinct source)::BIGINT from documents)
+                 as document_count,
+               (select string_agg(entity_type || ':' || cnt, ';'
+                                  order by entity_type) from per_type)
+                 as entities_per_type,
+               round((select count(*)::DOUBLE from triples)
+                     / (select count(*) from base), 6)
+                 as avg_relationships_per_entity
     """
 
     # ego_net oracle: recursive reach ≤ 2 hops from 'c1' over the

@@ -101,7 +101,7 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "language_id", "fingerprints", "tfidf_topk", "bm25", "rrf_fusion", "weighted_fusion", "ego_net",
                  "embedding_knn", "ann_ivf", "near_dup_banded",
                  "embedding_centroids",
-                 "graph_degree", "clustering_coeff", "community_reports",
+                 "graph_degree", "clustering_coeff", "community_reports", "graph_stats",
                  "pagerank", "events_hourly", "sessions",
                  "conflict_merge", "sage_embeddings", "rograg_fuzzy",
                  "node2vec", "kg_sql_triples", "bfs_reach",
