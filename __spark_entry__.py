@@ -1063,6 +1063,35 @@ def q_bpe_encode(spark, sf_dir):
         F.concat_ws(" ", F.slice("tokens", 1, 12)).alias("head_tokens"))
 
 
+_DSIR_B = 10_000
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket models of target (lang='en') vs raw (all docs), add-1
+    smoothed; log_w = Σ ln(p_b/q_b) over the doc's n-gram occurrences.
+    Ratio table is fixed-size (10k rows) and broadcast; the corpus sees
+    one tokenize+explode+sum — no shuffle wider than the per-doc agg."""
+    from graphrag_rs_spark.operators.dsir import dsir_log_ratio, dsir_weights
+    d = _docs(spark, sf_dir)
+    ratio = dsir_log_ratio(d.where(F.col("lang") == "en"), d,
+                           num_buckets=_DSIR_B)
+    return dsir_weights(d, ratio, num_buckets=_DSIR_B)
+
+
+def q_dsir_select(spark, sf_dir):
+    """Deterministic Gumbel-top-k resampling on the DSIR weights: key =
+    log_w − ln(−ln(u)) with u from the engine-portable md5 bucket, so
+    the paper's probabilistic resample replays exactly in SQL.  Global
+    top-k lowers to TakeOrderedAndProject (no single-partition sort)."""
+    from graphrag_rs_spark.operators.dsir import (
+        dsir_log_ratio, dsir_select, dsir_weights)
+    d = _docs(spark, sf_dir)
+    ratio = dsir_log_ratio(d.where(F.col("lang") == "en"), d,
+                           num_buckets=_DSIR_B)
+    return dsir_select(dsir_weights(d, ratio, num_buckets=_DSIR_B), k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -1140,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -2908,6 +2939,63 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(1, len(cs) - 1)) as g(i))
         select lhs, rhs, sum(freq)::BIGINT as pair_freq
         from pairs group by lhs, rhs
+    """
+
+    # DSIR importance resampling (operators/dsir.py): hashed
+    # unigram+bigram bucket models, add-1 smoothing, dense 10k-bucket
+    # log-ratio, per-doc weight sums, deterministic Gumbel-top-k —
+    # replayed verbatim (same md5 buckets, same ln arithmetic, 6dp
+    # rounding at the same boundaries).
+    _dsir_b = 10_000
+    _grams = f"""
+        select doc_id, lang, unnest(list_concat(toks,
+                 [toks[i] || ' ' || toks[i+1]
+                  for i in generate_series(1, greatest(len(toks)-1, 0))]))
+               as gram
+        from (select doc_id, lang, {_TOKS} as toks from documents)
+    """
+    _gram_bucket = ("(" + _H60.format(x="'dsir:' || gram")
+                    + f" % {_dsir_b})")
+    _dsir_weights = f"""
+        with grams as ({_grams}),
+        gb as (select doc_id, lang, {_gram_bucket} as bucket from grams),
+        tc as (select bucket, count(*)::BIGINT as c from gb
+               where lang = 'en' group by bucket),
+        rc as (select bucket, count(*)::BIGINT as c from gb group by bucket),
+        tot as (select (select count(*) from gb where lang = 'en') as tt,
+                       (select count(*) from gb) as rt),
+        ratio as (
+            select d.bucket,
+                   ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + {_dsir_b}.0))
+                 - ln((coalesce(rc.c, 0) + 1.0) / (tot.rt + {_dsir_b}.0))
+                   as log_ratio
+            from (select unnest(generate_series(0, {_dsir_b} - 1))
+                  as bucket) d
+            cross join tot
+            left join tc using (bucket) left join rc using (bucket)),
+        per_doc as (
+            select gb.doc_id, count(*)::BIGINT as n_features,
+                   sum(r.log_ratio) as lw
+            from gb join ratio r using (bucket) group by gb.doc_id)
+        select d.doc_id,
+               coalesce(p.n_features, 0)::BIGINT as n_features,
+               round(coalesce(p.lw, 0.0), 6) as log_w
+        from documents d left join per_doc p using (doc_id)
+    """
+    sql["dsir_weights"] = _dsir_weights
+    _gumbel_u = ("((" + _H60.format(x="'dsir-gumbel:' || doc_id")
+                 + " % 1000000) + 0.5) / 1000000.0")
+    sql["dsir_select"] = f"""
+        with w as ({_dsir_weights}),
+        keyed as (select doc_id, log_w,
+                         round(log_w - ln(-ln({_gumbel_u})), 6)
+                           as gumbel_key
+                  from w),
+        ranked as (select *, row_number() over
+                     (order by gumbel_key desc, doc_id asc) as rank
+                   from keyed)
+        select doc_id, log_w, gumbel_key, cast(rank as INT) as rank
+        from ranked where rank <= 50
     """
 
     return sql
