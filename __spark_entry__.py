@@ -458,6 +458,16 @@ def q_embedding_centroids(spark, sf_dir):
         "label", "dim", F.round("value", 6).alias("value"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): hash-seeded k-means clusters,
+    within-cluster cosine ≥ 0.4 pairs closed by CC into duplicate
+    groups, keep the least centroid-similar member per group.  The
+    quadratic step is bounded by the largest cluster; everything is
+    6-dp-rounded before ranking so the selection replays in SQL."""
+    from graphrag_rs_spark.operators.similarity import semdedup
+    return semdedup(_emb(spark, sf_dir), threshold=0.4, n_lists=4)
+
+
 def q_knn_cc(spark, sf_dir):
     from graphrag_rs_spark.operators.similarity import knn_graph
     from graphrag_rs_spark.algos.cc import connected_components
@@ -1134,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_centroids": q_embedding_centroids,
         "knn_cc": q_knn_cc,
+        "semdedup": q_semdedup,
         "graph_degree": q_graph_degree,
         "clustering_coeff": q_clustering_coeff,
         "community_reports": q_community_reports,
@@ -2086,6 +2097,59 @@ def oracle_sql() -> dict[str, str]:
             select r.node, bi.b from r join bi on bi.a = r.reach)
           select node, min(reach) as component from r group by node)
         select node, component from rec
+    """
+
+    # semdedup oracle: replay the SAME hash-seeded quantizer as ann_ivf
+    # (seeds → 1 Lloyd step, 6-dp centroids → membership), then the
+    # within-list cosine ≥ 0.4 pairs, recursive-CTE closure into groups
+    # (component = min member id, matching star-contraction CC), and the
+    # paper's keeper rule: min cent_sim, tie min id.
+    sql["semdedup"] = f"""
+        with v as (select vec_id, embedding::DOUBLE[] as vv,
+                          {h.format(x='vec_id::VARCHAR')} as hk
+                   from embeddings),
+        sd as (select vec_id, vv, hk from v order by hk, vec_id limit 4),
+        seeds as (select row_number() over (order by hk, vec_id) as list,
+                         vv as cent from sd),
+        a1 as (select vec_id, vv, list from (
+                 select v.vec_id, v.vv, seeds.list,
+                        row_number() over (partition by v.vec_id order by
+                            {_cos.format(a='v.vv', b='seeds.cent')} desc,
+                            seeds.list asc) as rn
+                 from v cross join seeds) where rn = 1),
+        cd as (select list, dim, round(avg(val), 6) as m from (
+                 select list, unnest(vv) as val,
+                        generate_subscripts(vv, 1) as dim from a1)
+               group by list, dim),
+        cents as (select list, list(m order by dim) as cent
+                  from cd group by list),
+        member as (select vec_id, vv, list from (
+                 select v.vec_id, v.vv, cents.list,
+                        row_number() over (partition by v.vec_id order by
+                            {_cos.format(a='v.vv', b='cents.cent')} desc,
+                            cents.list asc) as rn
+                 from v cross join cents) where rn = 1),
+        pairs as (select a.vec_id as ida, b.vec_id as idb
+                  from member a join member b
+                    on a.list = b.list and a.vec_id < b.vec_id
+                  where {_cos.format(a='a.vv', b='b.vv')} >= 0.4),
+        bi as (select ida as a, idb as b from pairs
+               union select idb as a, ida as b from pairs),
+        rec as (
+          with recursive r(node, reach) as (
+            select vec_id, vec_id from v
+            union
+            select r.node, bi.b from r join bi on bi.a = r.reach)
+          select node, min(reach) as group_id from r group by node),
+        cs as (select member.vec_id, cast(member.list as INT) as list,
+                      {_cos.format(a='member.vv', b='cents.cent')}
+                        as cent_sim
+               from member join cents using (list))
+        select cs.vec_id, cs.list, rec.group_id, cs.cent_sim,
+               (case when row_number() over (partition by rec.group_id
+                    order by cs.cent_sim asc, cs.vec_id asc) = 1
+                 then 1 else 0 end)::INT as is_kept
+        from cs join rec on cs.vec_id = rec.node
     """
 
     sql["graph_degree"] = """

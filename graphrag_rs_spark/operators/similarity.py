@@ -14,6 +14,9 @@
   ivf_topk          — IVF approximate top-k: deterministic coarse
                       quantizer (hash-seeded, one Lloyd refinement),
                       probe n closest inverted lists per query.
+  semdedup          — SemDeDup (Abbas et al. 2023): within-cluster
+                      cosine groups closed by CC, keep the least
+                      centroid-similar survivor per group.
   quantize_embeddings / quantized_topk
                     — int8 scalar quantization (max-abs/127 scale) and
                       cosine top-k over the quantized vectors: ~4× fewer
@@ -292,6 +295,96 @@ def _mean_cents(assigned: DataFrame) -> DataFrame:
             lambda s: s["m"]).alias("cent"))
 
 
+def coarse_quantizer(v: DataFrame, n_lists: int) -> tuple[DataFrame, DataFrame]:
+    """(id, v) → (cents: (list, cent), member: (id, v, list)).
+
+    The shared deterministic k-means step behind ivf_topk and semdedup:
+    seeds are the n_lists vectors with the smallest md5-hash of their id
+    (no RNG — the model is a pure function of the corpus), one Lloyd
+    refinement with 6-dp-rounded per-list means, then nearest-centroid
+    membership.  Seed selection lowers to TakeOrderedAndProject; the
+    centroid table is model-sized (n_lists rows) and broadcast by
+    _nearest.
+    """
+    seeds = (
+        v.withColumn("hk", h60(F.col("id").cast("string")))
+        .orderBy("hk", "id").limit(n_lists)  # TakeOrderedAndProject
+        .select(F.row_number().over(Window.orderBy("hk", "id"))
+                .alias("list"), F.col("v").alias("cent"))
+    )
+    cents = _mean_cents(_nearest(v, seeds))          # one Lloyd step
+    member = _nearest(v, cents)                      # inverted lists
+    return cents, member
+
+
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_lists: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, list, group_id, cent_sim, is_kept): SemDeDup semantic
+    deduplication (Abbas et al. 2023, arXiv:2303.09540).
+
+    Near-duplicates in EMBEDDING space (paraphrases, templated text,
+    re-encodings) that no lexical dedup catches: k-means-cluster the
+    corpus, compare pairs only WITHIN a cluster, close the ≥threshold
+    cosine pairs into duplicate groups, and keep one survivor per group.
+    Following the paper, the survivor is the member with the LOWEST
+    cosine to its cluster centroid (keep the least prototypical example
+    ⇒ retain diversity); ties break on min id.  Filter `is_kept = 1`
+    to materialize the semantically deduplicated corpus; singleton
+    groups (no ≥threshold neighbor) are always kept.
+
+    Deterministic end-to-end: the quantizer is hash-seeded
+    (coarse_quantizer), every cosine is rounded to 6 dp BEFORE the
+    threshold / keeper ranking (repo invariant), so the output is
+    parallelism-invariant and SQL-replayable.
+
+    Scale posture: the only quadratic work is the within-cluster pair
+    join, bounded by the largest cluster (≈ n/n_lists on mixing data) —
+    at 100 TB pick n_lists so clusters hold 10³-10⁴ docs (the paper
+    uses 50k clusters for LAION-440M) and the join stays a bucketed
+    self-join on `list`; group closure is the same small-star/large-star
+    CC as canonicalization; the keeper window partitions by group_id.
+    Reference scope note: graphrag-rs has no embedding-space corpus
+    dedup (vector/mod.rs is query-time ANN only); this operator is part
+    of the engine-added training-data curation family.
+    """
+    from graphrag_rs_spark.algos.cc import connected_components
+
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    cents, member = coarse_quantizer(v, n_lists)
+    a = member.select("list", F.col("id").alias("id_a"),
+                      F.col("v").alias("va"))
+    b = member.select("list", F.col("id").alias("id_b"),
+                      F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold))
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=member.select(F.col("id").alias("node")))
+    cent_sim = member.join(F.broadcast(cents), "list").select(
+        "id", "list",
+        F.round(cosine(F.col("v"), F.col("cent")), 6).alias("cent_sim"))
+    joined = cent_sim.join(
+        comps, cent_sim["id"] == comps["node"]).select(
+        "id", "list", "cent_sim", F.col("component").alias("group_id"))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("cent_sim").asc(), F.col("id").asc())
+    return (joined
+            .withColumn("is_kept",
+                        (F.row_number().over(w) == 1).cast("int"))
+            .select(F.col("id").alias(id_col), "list", "group_id",
+                    "cent_sim", "is_kept"))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -318,14 +411,7 @@ def ivf_topk(
     """
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
-    seeds = (
-        v.withColumn("hk", h60(F.col("id").cast("string")))
-        .orderBy("hk", "id").limit(n_lists)  # TakeOrderedAndProject
-        .select(F.row_number().over(Window.orderBy("hk", "id"))
-                .alias("list"), F.col("v").alias("cent"))
-    )
-    cents = _mean_cents(_nearest(v, seeds))          # one Lloyd step
-    member = _nearest(v, cents)                      # inverted lists
+    cents, member = coarse_quantizer(v, n_lists)
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
