@@ -186,6 +186,17 @@ def q_dedup_segments(spark, sf_dir):
                          width=3, max_df=2)
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021):
+    drop every token inside a 6-word run occurring more than once
+    corpus-wide (any alignment, self-repeats included), counted per
+    doc, surviving text rebuilt in order.  Sliding shingles hashed to
+    60-bit keys; one corpus hash-agg; fan-out bounded by the width."""
+    from graphrag_rs_spark.operators.dedup import substring_dedup
+    return substring_dedup(_docs(spark, sf_dir), "doc_id", "text",
+                           width=6, max_count=1)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Cross-run incremental dedup: docs with doc_id % 3 != 0 stand in
     for the already-ingested corpus (its dedup_store of content hashes
@@ -1116,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_segments": q_dedup_segments,
+        "dedup_substrings": q_dedup_substrings,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "token_stats": q_token_stats,
@@ -1459,6 +1471,40 @@ def oracle_sql() -> dict[str, str]:
                coalesce(string_agg(case when not dropped then seg end,
                                    ' ' order by seg_idx), '') as clean_text
         from flagged group by doc_id
+    """
+
+    # dedup_substrings oracle: same 0-based token positions, sliding
+    # 6-gram md5-prefix hashes, occurrence counts > 1, coverage as a
+    # per-doc range join, ordered rebuild of the uncovered tokens.
+    sql["dedup_substrings"] = f"""
+        with toks as (select doc_id, string_split(text, ' ') as t
+                      from documents),
+        words as (
+          select doc_id, unnest(t) as word,
+                 generate_subscripts(t, 1) - 1 as pos
+          from toks),
+        idx as (select doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 5, 0)))
+                         as i
+                from toks),
+        sh as (select doc_id, i - 1 as p,
+                      {h.format(x="array_to_string(t[i:i+5], ' ')")} as shash
+               from idx),
+        dup as (select shash from sh group by shash having count(*) > 1),
+        covered as (
+          select distinct w.doc_id, w.pos
+          from words w
+          join (select sh.doc_id, sh.p from sh join dup using (shash)) s
+            on w.doc_id = s.doc_id and w.pos between s.p and s.p + 5)
+        select w.doc_id,
+               count(*)::INT as n_tokens,
+               sum(case when c.pos is not null then 1 else 0 end)::INT
+                 as n_dropped,
+               coalesce(string_agg(case when c.pos is null then w.word end,
+                                   ' ' order by w.pos), '') as clean_text
+        from words w
+        left join covered c on w.doc_id = c.doc_id and w.pos = c.pos
+        group by w.doc_id
     """
 
     sql["dedup_simhash"] = f"""

@@ -344,6 +344,73 @@ def segment_dedup(
             " ").alias("clean_text"))
 
 
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    max_count: int = 1,
+) -> DataFrame:
+    """→ (doc_id, n_tokens, n_dropped, clean_text): ExactSubstr-style
+    duplicated-span removal (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499).
+
+    A token is dropped iff it lies inside some `width`-token run whose
+    exact text occurs more than `max_count` times corpus-wide (including
+    a second occurrence in the SAME document — self-repeats count, as in
+    the paper).  At word granularity this is EXACT, not approximate:
+    every duplicated span of ≥ width tokens is fully tiled by duplicated
+    width-shingles regardless of alignment — the case `segment_dedup`'s
+    fixed non-overlapping segments miss.  The paper's suffix array is a
+    single-machine structure; sliding-shingle cover is the shared-nothing
+    equivalent at the fixed span threshold (their 50-token default ↦
+    `width`).
+
+    Pure Catalyst: per-doc sliding windows (rows-frame collect_list over
+    pos, hashed to 60-bit keys so long spans never shuffle as strings) →
+    one corpus-wide hash agg for occurrence counts → covered positions
+    exploded from duplicated shingles (fan-out ≤ width, bounded) →
+    ordered rebuild.  Scale posture: the window is partitioned by
+    doc_id; the count agg and the dup join key on the shingle hash, so
+    partitioning is content-uniform; nothing is quadratic and removal is
+    counted per doc (`n_dropped`), never silent.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, width - 1)
+    sh = (words
+          .withColumn("win", F.collect_list("word").over(w))
+          .filter(F.size("win") == width)
+          .select("doc_id", F.col("pos").alias("p"),
+                  h60(F.array_join("win", " ")).alias("shash")))
+    dup = (sh.groupBy("shash").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > max_count).select("shash"))
+    covered = (sh.join(dup, "shash")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("p"), F.col("p") + F.lit(width - 1)))
+                       .alias("pos"))
+               .distinct()
+               .withColumn("cov", F.lit(1)))
+    flagged = words.join(covered, ["doc_id", "pos"], "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.col("cov").isNotNull().cast("int")).cast("int")
+        .alias("n_dropped"),
+        # when() without otherwise() nulls dropped tokens; collect_list
+        # skips nulls, so the filter rides inside the one agg
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("cov").isNull(),
+                           F.struct("pos", "word")))),
+                lambda s: s["word"]),
+            " ").alias("clean_text"))
+
+
 def dedup_store(
     corpus: DataFrame,
     id_col: str = "doc_id",
