@@ -395,6 +395,43 @@ def main() -> int:
         "exchange is doc_id- or text_hash-keyed, so AQE reuses/coalesces "
         "the partitioning across the join chain.", trim(p)))
 
+    p = plan_of(q["dsir_weights"](spark, sf_dir))
+    check("dsir: ratio table broadcast onto the corpus stream",
+          "BroadcastHashJoin" in p, "10k-row ratio table must broadcast")
+    check("dsir: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    SECTIONS.append((
+        "dsir_weights — importance-resampling scores",
+        "The fixed-size (num_buckets) log-ratio table broadcasts; the "
+        "corpus sees one tokenize + explode + hash-agg pass. No shuffle "
+        "is wider than the per-doc sum.", trim(p)))
+
+    p = plan_of(q["semdedup"](spark, sf_dir))
+    check("semdedup: centroids broadcast",
+          "BroadcastHashJoin" in p, "n_lists-row centroid table")
+    check("semdedup: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    check("semdedup: no cartesian product of the corpus",
+          "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "semdedup — embedding-cluster semantic dedup",
+        "The model-sized centroid table broadcasts everywhere; the only "
+        "self-join is within-cluster (keyed on `list`), bounded by the "
+        "largest cluster; group closure is the star-contraction CC; the "
+        "keeper window partitions by group_id.", trim(p)))
+
+    p = plan_of(q["dedup_substrings"](spark, sf_dir))
+    check("dedup_substrings: no Python", "BatchEvalPython" not in p, "")
+    check("dedup_substrings: no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+          "")
+    SECTIONS.append((
+        "dedup_substrings — ExactSubstr duplicated-span removal",
+        "Sliding shingles are a per-doc window (partitioned by doc_id); "
+        "the occurrence count and the dup join key on the 60-bit shingle "
+        "hash (content-uniform); cover fan-out is bounded by the width.",
+        trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
