@@ -1113,6 +1113,22 @@ def q_dsir_select(spark, sf_dir):
     return dsir_select(dsir_weights(d, ratio, num_buckets=_DSIR_B), k=50)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based corpus filtering (GPT-3/CCNet style): logistic
+    regression on binary hashed-unigram presence features, trained
+    with 3 full-batch GD iterations (y = lang=='en' as the curated-set
+    label), then every doc scored.  The model (1025 rows) broadcasts;
+    per iteration the corpus sees one join + two keyed aggs; the whole
+    trajectory is 9-dp-rounded at each boundary so DuckDB replays it
+    exactly via unrolled-iteration CTEs (pagerank oracle pattern)."""
+    from graphrag_rs_spark.operators.classifier import (
+        score_quality, train_quality_classifier)
+    d = _docs(spark, sf_dir).withColumn(
+        "y", (F.col("lang") == "en").cast("int"))
+    model = train_quality_classifier(d, "y", num_buckets=1024, iters=3)
+    return score_quality(d, model, num_buckets=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_entities": q_kg_entities,
@@ -1194,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -3107,5 +3124,66 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, log_w, gumbel_key, cast(rank as INT) as rank
         from ranked where rank <= 50
     """
+
+    # quality_classifier oracle (operators/classifier.py): the full
+    # 3-iteration full-batch logistic-GD trajectory unrolled into CTEs
+    # (pagerank pattern) — same hashed presence features, same
+    # 9-dp rounding of p / gradient / weights at each boundary, same
+    # dense weight table with the bias at bucket -1, then the scoring
+    # pass at the 6-dp output boundary.
+    _qc_b, _qc_iters = 1024, 3
+    _qc_h = "(" + _H60.format(x="'qc:' || tok") + f" % {_qc_b})"
+    _qc_parts = [f"""
+        toks as (select doc_id, {_TOKS} as t,
+                        (case when lang = 'en' then 1.0 else 0.0 end) as y
+                 from documents),
+        nn as (select count(*)::DOUBLE as n from toks),
+        feats as (
+          select distinct doc_id, {_qc_h}::BIGINT as bucket, 1.0 as x
+          from (select doc_id, unnest(t) as tok from toks)),
+        labeled as (select doc_id, y from toks),
+        w0 as (select unnest(generate_series(-1, {_qc_b - 1}))::BIGINT
+                        as bucket,
+                      0.0 as weight)"""]
+    for _i in range(1, _qc_iters + 1):
+        _qc_parts.append(f"""
+        p{_i} as (
+          select l.doc_id, l.y,
+                 round(1.0 / (1.0 + exp(-(coalesce(d.dot, 0.0)
+                                          + b.bias))), 9) as p
+          from labeled l
+          left join (select f.doc_id, sum(f.x * w.weight) as dot
+                     from feats f join w{_i - 1} w using (bucket)
+                     group by f.doc_id) d using (doc_id)
+          cross join (select weight as bias from w{_i - 1}
+                      where bucket = -1) b),
+        g{_i} as (
+          select u.bucket, round(u.gs / nn.n, 9) as g
+          from (select f.bucket, sum((p.p - p.y) * f.x) as gs
+                from feats f join p{_i} p using (doc_id)
+                group by f.bucket
+                union all
+                select (-1)::BIGINT as bucket, sum(p.p - p.y) as gs
+                from p{_i} p) u
+          cross join nn),
+        w{_i} as (
+          select w.bucket,
+                 round(w.weight - 5.0 * coalesce(g.g, 0.0), 9) as weight
+          from w{_i - 1} w left join g{_i} g using (bucket))""")
+    sql["quality_classifier"] = ("with" + ",".join(_qc_parts) + f"""
+        select s.doc_id, round(s.p, 6) as score,
+               (case when round(s.p, 6) >= 0.5 then 1 else 0 end)::INT
+                 as pred
+        from (
+          select l.doc_id,
+                 round(1.0 / (1.0 + exp(-(coalesce(d.dot, 0.0)
+                                          + b.bias))), 9) as p
+          from labeled l
+          left join (select f.doc_id, sum(f.x * w.weight) as dot
+                     from feats f join w{_qc_iters} w using (bucket)
+                     group by f.doc_id) d using (doc_id)
+          cross join (select weight as bias from w{_qc_iters}
+                      where bucket = -1) b) s
+    """)
 
     return sql

@@ -109,7 +109,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "repetition_stats", "contamination", "pack_bins",
                  "scrub_pii", "sample_split", "source_stats",
                  "token_budget", "curate", "ann_lsh_buckets",
-                 "dsir_weights", "semdedup", "dedup_substrings"):
+                 "dsir_weights", "semdedup", "dedup_substrings",
+                 "quality_classifier"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

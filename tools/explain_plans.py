@@ -432,6 +432,21 @@ def main() -> int:
         "hash (content-uniform); cover fan-out is bounded by the width.",
         trim(p)))
 
+    p = plan_of(q["quality_classifier"](spark, sf_dir))
+    check("quality_classifier: model broadcast onto the corpus",
+          "BroadcastHashJoin" in p, "1025-row weight table must broadcast")
+    check("quality_classifier: no Python", "BatchEvalPython" not in p
+          and "MapInPandas" not in p, "")
+    check("quality_classifier: no cartesian product of the corpus",
+          "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "quality_classifier — model-based corpus filter (scoring pass)",
+        "The trained weight table (num_buckets+1 rows) broadcasts; the "
+        "corpus sees one tokenize + explode + per-doc sum. Training "
+        "iterations (upstream, localCheckpointed) each cost one "
+        "broadcast join + two keyed aggs — the model never leaves the "
+        "cluster.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
