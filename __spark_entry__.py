@@ -784,6 +784,59 @@ def q_sessions(spark, sf_dir):
         .alias("session_end_s"))
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Engine-added KMV distinct-count sketch: per-source distinct-token
+    estimate from the 256 smallest h60 values — the estimate itself is
+    engine-portable (unlike HLL), so DuckDB replays it exactly."""
+    from graphrag_rs_spark.functions.hashing import tokens
+    from graphrag_rs_spark.operators.sketches import kmv_distinct_by
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens("text")).alias("tok"))
+    return kmv_distinct_by(toks, "source", "tok", k=256)
+
+
+def q_asof_state(spark, sf_dir):
+    """Engine-added as-of join: each error event picks up the latest
+    at-or-before non-error reading of the same user (state-as-of-event).
+    Union+window plan — one shuffle on user_id, no non-equi join."""
+    from graphrag_rs_spark.operators.joins import asof_join
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("state_value")))
+    out = asof_join(left, right, "user_id", match_ts_col="state_ts")
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "state_value",
+        (F.col("ts").cast("timestamp").cast("long")
+         - F.col("state_ts")).alias("state_age_s"))
+
+
+def q_range_band_join(spark, sf_dir):
+    """Engine-added range join (no equi key): error-event values joined
+    against per-(event_type, day) value bands [avg-5, avg+5] via the
+    bin-explode equi-join — never a nested-loop plan."""
+    from graphrag_rs_spark.operators.joins import range_join_points
+    ev = _events(spark, sf_dir)
+    points = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.round("value", 6).alias("x"))
+    bands = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.col("event_type").alias("band_type"),
+                 F.date_trunc("day", "ts").alias("band_day"))
+        .agg(F.round(F.avg("value") - 5.0, 6).alias("lo"),
+             F.round(F.avg("value") + 5.0, 6).alias("hi")))
+    out = range_join_points(points, bands, "x", "lo", "hi", bin_width=10.0)
+    return out.select(
+        "event_id", "x", "band_type",
+        F.col("band_day").cast("timestamp").cast("long").alias("band_day_s"),
+        "lo", "hi")
+
+
 def q_conflict_merge(spark, sf_dir):
     """I4 conflict resolution (reference graph/incremental/conflict.rs):
     two deterministic entity increments derived from `documents`, resolved
@@ -1186,6 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_growing": q_top_growing,
         "temporal_centrality": q_temporal_centrality,
         "sessions": q_sessions,
+        "asof_state": q_asof_state,
+        "range_band_join": q_range_band_join,
+        "kmv_distinct": q_kmv_distinct,
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
@@ -2554,6 +2610,63 @@ def oracle_sql() -> dict[str, str]:
                min(tss) as session_start_s,
                max(tss) as session_end_s
         from sess group by user_id, session_id
+    """
+
+    sql["kmv_distinct"] = f"""
+        with toks as (
+          select source, unnest({_TOKS}) as tok from documents
+        ),
+        hashed as (
+          select distinct source,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT as h
+          from toks
+        ),
+        ranked as (
+          select source, h,
+                 row_number() over (partition by source order by h) as rn
+          from hashed
+        ),
+        agg as (
+          select source, count(*) as n_kept, max(h) as u_k
+          from ranked where rn <= 256 group by source
+        )
+        select source, n_kept,
+               round(case when n_kept < 256 then n_kept::DOUBLE
+                          else 255.0 / ((u_k + 1.0)
+                                        / 1152921504606846976.0) end,
+                     4) as est_distinct
+        from agg
+    """
+
+    sql["asof_state"] = """
+        with l as (select event_id, user_id, ts from events
+                   where event_type = 'error'),
+             r as (select user_id, ts, round(max(value), 6) as state_value
+                   from events where event_type <> 'error'
+                   group by 1, 2)
+        select l.event_id, l.user_id,
+               floor(epoch(l.ts))::BIGINT as ts_s,
+               r.state_value,
+               case when r.ts is null then null
+                    else floor(epoch(l.ts))::BIGINT
+                         - floor(epoch(r.ts))::BIGINT end as state_age_s
+        from l asof left join r
+          on l.user_id = r.user_id and l.ts >= r.ts
+    """
+
+    sql["range_band_join"] = """
+        with p as (select event_id, round(value, 6) as x from events
+                   where event_type = 'error'),
+             b as (select event_type as band_type,
+                          date_trunc('day', ts) as band_day,
+                          round(avg(value) - 5.0, 6) as lo,
+                          round(avg(value) + 5.0, 6) as hi
+                   from events where event_type <> 'error'
+                   group by 1, 2)
+        select p.event_id, p.x, b.band_type,
+               floor(epoch(b.band_day))::BIGINT as band_day_s,
+               b.lo, b.hi
+        from p join b on p.x >= b.lo and p.x <= b.hi
     """
 
     sql["conflict_merge"] = """

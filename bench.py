@@ -110,7 +110,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "scrub_pii", "sample_split", "source_stats",
                  "token_budget", "curate", "ann_lsh_buckets",
                  "dsir_weights", "semdedup", "dedup_substrings",
-                 "quality_classifier"):
+                 "quality_classifier", "asof_state", "range_band_join",
+                 "kmv_distinct"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

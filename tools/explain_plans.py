@@ -447,6 +447,46 @@ def main() -> int:
         "broadcast join + two keyed aggs — the model never leaves the "
         "cluster.", trim(p)))
 
+    p = plan_of(q["asof_state"](spark, sf_dir))
+    check("asof: no non-equi join (union+window plan)",
+          "NestedLoop" not in p and "CartesianProduct" not in p
+          and "SortMergeJoin" not in p, "as-of must not plan a join at all")
+    check("asof: single user_id exchange, no Python",
+          "hashpartitioning(user_id" in p
+          and "BatchEvalPython" not in p, "")
+    SECTIONS.append((
+        "asof_state — as-of join via union + last(ignorenulls) window",
+        "The non-equi formulation (ts >= ts, argmax) would plan a "
+        "nested-loop; instead both sides union and a single window over "
+        "user_id back-fills the latest right value — one hash shuffle, "
+        "linear scan per key, no join operator in the plan.", trim(p)))
+
+    p = plan_of(q["range_band_join"](spark, sf_dir))
+    check("range join: bin equi-join, no nested loop",
+          "NestedLoop" not in p and "CartesianProduct" not in p, "")
+    check("range join: band side broadcast",
+          "BroadcastHashJoin" in p, "exploded band table is tiny")
+    SECTIONS.append((
+        "range_band_join — interval join via bin-explode equi-join",
+        "Intervals explode to the fixed-width bins they cover and "
+        "equi-join points on the bin (broadcast here; shuffle-hash at "
+        "scale), then the exact BETWEEN re-check runs post-join. Each "
+        "qualifying pair survives exactly once, so no dedup pass.",
+        trim(p)))
+
+    p = plan_of(q["kmv_distinct"](spark, sf_dir))
+    check("kmv: no Python, no cartesian",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p, "")
+    check("kmv: distinct agg has a map-side partial",
+          "partial_" in p or "HashAggregate" in p, "")
+    SECTIONS.append((
+        "kmv_distinct — k-minimum-values distinct sketch",
+        "The (group, hash) distinct is the only full-width exchange "
+        "(map-side combinable hash agg); after it the state is ≤ k rows "
+        "per group through the bottom-k window and final agg. The "
+        "estimate is h60-based, so it is identical at any parallelism "
+        "and replayable by the DuckDB oracle.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
