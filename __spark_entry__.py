@@ -784,6 +784,37 @@ def q_sessions(spark, sf_dir):
         .alias("session_end_s"))
 
 
+def q_kcore(spark, sf_dir):
+    """Engine-added k-core: 4-core of the deterministically thinned
+    (1/16 by pair-h60) customer-supplier graph — a real multi-round
+    peel (3 rounds at sf0.01); oracle unrolls 6 rounds (monotone, so
+    extra rounds are no-ops, pagerank-oracle pattern)."""
+    from graphrag_rs_spark.algos.kcore import k_core
+    from graphrag_rs_spark.functions.hashing import h60
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e0 = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        .distinct()
+        .filter(h60(F.concat_ws("|", "src", "dst")) % 16 == 0))
+    edges = e0.union(e0.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    return k_core(edges, k=4)
+
+
+def q_skew_stats(spark, sf_dir):
+    """Engine-added shuffle-key skew diagnostic: top-50 heaviest
+    user_id keys of the events table with share / cumulative share."""
+    from graphrag_rs_spark.operators.corpus import skew_stats
+    return skew_stats(_events(spark, sf_dir), "user_id", top_k=50)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Engine-added KMV distinct-count sketch: per-source distinct-token
     estimate from the 256 smallest h60 values — the estimate itself is
@@ -1242,6 +1273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_state": q_asof_state,
         "range_band_join": q_range_band_join,
         "kmv_distinct": q_kmv_distinct,
+        "kcore": q_kcore,
+        "skew_stats": q_skew_stats,
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
@@ -2610,6 +2643,45 @@ def oracle_sql() -> dict[str, str]:
                min(tss) as session_start_s,
                max(tss) as session_end_s
         from sess group by user_id, session_id
+    """
+
+    _kcore_rounds = 6
+    _kc = ["e0 as (select distinct 'c' || cast(o_custkey as varchar) as src, "
+           "'s' || cast(l_suppkey as varchar) as dst "
+           "from orders join lineitem on o_orderkey = l_orderkey)",
+           "et as (select * from e0 where "
+           "('0x' || substr(md5(src || '|' || dst), 1, 15))::BIGINT "
+           "% 16 = 0)",
+           "s0 as (select src, dst from et "
+           "union all select dst, src from et)",
+           "d0 as (select src, count(*) as c from s0 group by src)"]
+    for _i in range(1, _kcore_rounds + 1):
+        _kc.append(f"k{_i - 1} as (select src from d{_i - 1} where c >= 4)")
+        _kc.append(
+            f"s{_i} as (select s.src, s.dst from s{_i - 1} s "
+            f"join k{_i - 1} a on s.src = a.src "
+            f"join k{_i - 1} b on s.dst = b.src)")
+        _kc.append(f"d{_i} as (select src, count(*) as c from s{_i} "
+                   "group by src)")
+    sql["kcore"] = ("with " + ",\n".join(_kc) +
+                    f"\nselect src as node, c as degree from "
+                    f"d{_kcore_rounds} where c >= 4")
+
+    sql["skew_stats"] = """
+        with c as (select user_id as key, count(*) as cnt
+                   from events group by 1),
+        t as (select sum(cnt)::DOUBLE as tot from c),
+        top as (select key, cnt from c
+                order by cnt desc, key asc limit 50),
+        r as (select key, cnt,
+                     row_number() over (order by cnt desc, key asc) as rank,
+                     sum(cnt) over (order by cnt desc, key asc
+                         rows between unbounded preceding and current row)
+                       as cum
+              from top)
+        select r.key, r.cnt, round(r.cnt / t.tot, 6) as share,
+               round(r.cum / t.tot, 6) as cum_share, r.rank
+        from r, t
     """
 
     sql["kmv_distinct"] = f"""

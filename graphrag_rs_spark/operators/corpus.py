@@ -58,6 +58,39 @@ def source_stats(docs: DataFrame, id_col: str = "doc_id",
                  .alias("dup_frac")))
 
 
+def skew_stats(df: DataFrame, key_col: str, top_k: int = 50) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key →
+    (key, cnt, share, cum_share, rank), top_k keys by count.
+
+    This is the pre-flight skew diagnostic: before keying a join or agg
+    on `key_col` at scale, read off how much of the table the hottest
+    keys own (share / cumulative share) and decide salting.  Plan: one
+    map-side-combinable count agg, then a distributed top-k
+    (TakeOrdered — no global sort); ranking/cumulation run on the ≤
+    top_k survivors only, so nothing single-partition ever sees more
+    than top_k rows.  Ties break by key ascending — deterministic.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("_tot"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()) \
+        .limit(int(top_k))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "key", "cnt",
+            F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+            F.round(F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_tot"), 6).alias("cum_share"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
 def filter_sources(docs: DataFrame,
                    min_mean_quality: float = 0.0,
                    max_dup_frac: float = 1.0,

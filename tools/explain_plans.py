@@ -487,6 +487,26 @@ def main() -> int:
         "estimate is h60-based, so it is identical at any parallelism "
         "and replayable by the DuckDB oracle.", trim(p)))
 
+    p = plan_of(q["kcore"](spark, sf_dir))
+    check("kcore: survivor semi-joins, no cartesian",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p, "")
+    SECTIONS.append((
+        "kcore — iterative peel (final round's plan)",
+        "Each round is one map-side-combinable degree agg plus two "
+        "left-semi joins against the (shrinking) survivor list, with an "
+        "eager localCheckpoint pinning lineage — the returned plan is "
+        "one round deep regardless of rounds run.", trim(p)))
+
+    p = plan_of(q["skew_stats"](spark, sf_dir))
+    check("skew_stats: distributed top-k (no global sort)",
+          "TakeOrderedAndProject" in p, "")
+    check("skew_stats: no Python", "BatchEvalPython" not in p, "")
+    SECTIONS.append((
+        "skew_stats — shuffle-key heavy-hitter diagnostic",
+        "Count agg (partial+final) → TakeOrdered top-k → ranking windows "
+        "over ≤ top_k rows only; the single-partition stage never sees "
+        "more than top_k rows.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
