@@ -28,6 +28,7 @@ Known, documented divergences from the Rust source:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from dataclasses import dataclass, field
 
 # ---------------------------------------------------------------------------
@@ -284,6 +285,7 @@ class ExtractedEntity:
 _NON_WORD_ASCII = re.compile(r"[^A-Za-z']+")
 
 
+@lru_cache(maxsize=1 << 16)
 def _clean_word(word: str) -> str:
     """entity/mod.rs:653-659 — keep alphabetic + apostrophes, strip trailing '.
 
@@ -291,6 +293,10 @@ def _clean_word(word: str) -> str:
     (this function dominates extraction CPU; `str.isascii` is O(n) in C and
     `[A-Za-z]` == `str.isalpha` exactly on ASCII input).  Non-ASCII words
     fall back to the Unicode-faithful per-char loop.
+
+    lru_cache is safe (pure function of the word) and pays because word
+    frequency is Zipf-distributed — the bounded 64k-entry cache catches
+    the bulk of calls at any corpus size without unbounded growth.
     """
     if word.isascii():
         return _NON_WORD_ASCII.sub("", word).rstrip("'")
@@ -302,8 +308,10 @@ def _is_capitalized(word: str) -> bool:
     return bool(word) and word[0].isupper()
 
 
+@lru_cache(maxsize=1 << 16)
 def _is_likely_person_word(word: str) -> bool:
-    """entity/mod.rs:662-699."""
+    """entity/mod.rs:662-699.  Pure per-word predicate → cached (same
+    rationale as `_clean_word`)."""
     if len(word) < 2:
         return False
     wl = word.lower()
@@ -529,12 +537,19 @@ def _extract_locations(text: str, min_confidence: float) -> list[ExtractedEntity
     return entities
 
 
+@lru_cache(maxsize=1 << 16)
+def _has_concept_indicator(clean: str) -> bool:
+    """Pure per-word substring scan over CONCEPT_INDICATORS → cached;
+    the genexpr was the single hottest line of `_extract_concepts`."""
+    return any(ind in clean for ind in CONCEPT_INDICATORS)
+
+
 def _extract_concepts(text: str, entity_type: str, min_confidence: float) -> list[ExtractedEntity]:
     """entity/mod.rs:928-992."""
     entities = []
     for word in text.split():
         clean = _clean_word(word)
-        if any(ind in clean for ind in CONCEPT_INDICATORS):
+        if _has_concept_indicator(clean):
             if 0.75 >= min_confidence:
                 entities.append(_mk(clean, entity_type, 0.75, text))
         if _is_capitalized(word) and len(word) > 4:
