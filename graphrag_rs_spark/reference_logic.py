@@ -341,8 +341,9 @@ def _is_common_word(word: str) -> bool:
     return word.lower() in COMMON_WORDS
 
 
+@lru_cache(maxsize=1 << 16)
 def calculate_confidence(name: str, entity_type: str) -> float:
-    """entity/mod.rs:731-769."""
+    """entity/mod.rs:731-769.  Pure in (name, type) → cached."""
     confidence = 0.5
     if entity_type == "PERSON":
         if "Dr." in name or "Prof." in name:
@@ -364,8 +365,9 @@ def calculate_confidence(name: str, entity_type: str) -> float:
     return min(confidence, 1.0)
 
 
+@lru_cache(maxsize=1 << 16)
 def normalize_entity_name(name: str) -> str:
-    """entity/mod.rs:789-795 — entity-id normalization.
+    """entity/mod.rs:789-795 — entity-id normalization.  Pure → cached.
 
     NOTE the reference filters out spaces *before* the space→underscore
     replace, so "John Smith" → "johnsmith" (not "john_smith").  We keep
