@@ -79,7 +79,10 @@ def asof_join(
     # struct round-trip below without NTZ/zone surprises
     r_epoch = F.col(right_ts).cast("timestamp").cast("long")
     l_epoch = F.col(left_ts).cast("timestamp").cast("long")
-    rr = right.select(
+    # a null right timestamp would sort FIRST under asc (Spark nulls
+    # first) and back-fill every left row — null-ts right rows can never
+    # legitimately match, so drop them before the union
+    rr = right.filter(r_epoch.isNotNull()).select(
         *keys,
         r_epoch.alias("_ats"),
         F.lit(1).alias("_side"),
@@ -124,10 +127,13 @@ def asof_join(
         filled = _fill(u, "_rv", backward).filter(F.col("_side") == 0)
         filled = filled.withColumn("_rv", _bounded(F.col("_rv"), backward))
 
+    # a null LEFT timestamp must never match either (under desc ordering
+    # nulls sort last and would see every right row)
+    rv_out = F.when(F.col("_ats").isNotNull(), F.col("_rv"))
     out = filled.select(
         *left.columns,
-        *[F.col("_rv")[v].alias(v) for v in right_vals],
-        F.col("_rv")[mcol].alias(mcol))
+        *[rv_out[v].alias(v) for v in right_vals],
+        rv_out[mcol].alias(mcol))
     return out if match_ts_col else out.drop(_MATCH_TS)
 
 

@@ -112,6 +112,26 @@ def test_asof_matches_pandas_merge_asof(spark):
     assert list(got["rv"].fillna(-1)) == list(want["rv"].fillna(-1))
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """Null-ts right rows must not back-fill (they sort first under asc);
+    null-ts left rows must stay unmatched (they sort last under desc)."""
+    import datetime as dt
+    t1 = dt.datetime(2024, 1, 1, 1, 0)
+    t2 = dt.datetime(2024, 1, 1, 0, 30)
+    left = spark.createDataFrame(
+        [("a", t1, 1), ("a", None, 2)], "k string, ts timestamp, lv int")
+    right = spark.createDataFrame(
+        [("a", None, 99.0), ("a", t2, 7.0)],
+        "k string, ts timestamp, rv double")
+    for direction in ("backward", "forward", "nearest"):
+        out = {r.lv: r.rv for r in
+               asof_join(left, right, "k", direction=direction).collect()}
+        assert out[2] is None, direction           # null left ts
+        if direction == "backward":
+            assert out[1] == 7.0                   # real match, not 99.0
+        assert out[1] != 99.0, direction           # null right ts ignored
+
+
 def test_range_join_inner_and_left(spark):
     points = spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate([1.0, 5.0, 14.9, 15.0, 99.0])],
