@@ -48,6 +48,9 @@ def kmv_distinct_by(values: DataFrame, group_col: str, value_col: str,
     hashed = (
         values.select(F.col(group_col).alias("g"),
                       h60(F.col(value_col).cast("string")).alias("h"))
+        # null values hash to null, which sorts FIRST ascending and
+        # would occupy a sketch slot — a null is not a value; drop it
+        .filter(F.col("h").isNotNull())
         .groupBy("g", "h").agg(F.lit(1).alias("_one")).drop("_one"))
     w = Window.partitionBy("g").orderBy(F.col("h").asc())
     kept = hashed.withColumn("_rn", F.row_number().over(w)) \

@@ -37,6 +37,14 @@ def test_parallelism_invariance(spark):
     assert (a.n_kept, a.est_distinct) == (b.n_kept, b.est_distinct)
 
 
+def test_null_values_do_not_occupy_sketch_slots(spark):
+    df = spark.createDataFrame(
+        [("g", str(i)) for i in range(10)] + [("g", None)] * 5,
+        "g string, v string")
+    row = kmv_distinct_by(df, "g", "v", k=256).collect()[0]
+    assert row.n_kept == 10 and row.est_distinct == 10.0
+
+
 def test_global_variant_and_k_guard(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("v"))
     row = kmv_distinct(df, "v", k=8).collect()[0]
