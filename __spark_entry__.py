@@ -826,6 +826,39 @@ def q_kmv_distinct(spark, sf_dir):
     return kmv_distinct_by(toks, "source", "tok", k=256)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Engine-added link prediction (algos/linkpred.py): top-100
+    predicted missing edges of the thinned customer-supplier graph
+    (same graph as `kcore`), Adamic-Adar ranked with a 64-degree hub
+    cap — wedge self-join on the shared neighbor, never all-pairs."""
+    from graphrag_rs_spark.algos.linkpred import link_prediction
+    from graphrag_rs_spark.functions.hashing import h60
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e0 = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        .distinct()
+        .filter(h60(F.concat_ws("|", "src", "dst")) % 16 == 0))
+    return link_prediction(e0, max_degree=64, top_k=100)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Engine-added count-min heavy hitters: events.user_id keys whose
+    CMS estimate (depth 4 × width 2048, h60 rows) is ≥ 50 — bounded
+    mergeable counter state instead of a per-key shuffle; the
+    deterministic hashing makes the ESTIMATE itself engine-portable,
+    so DuckDB replays sketch and query bit-identically."""
+    from graphrag_rs_spark.operators.sketches import cms_heavy_hitters
+    return cms_heavy_hitters(_events(spark, sf_dir), "user_id",
+                             min_count=50, depth=4, width=2048, top_k=100)
+
+
 def q_asof_state(spark, sf_dir):
     """Engine-added as-of join: each error event picks up the latest
     at-or-before non-error reading of the same user (state-as-of-event).
@@ -1275,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kcore": q_kcore,
         "skew_stats": q_skew_stats,
+        "link_prediction": q_link_prediction,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
@@ -2708,6 +2743,66 @@ def oracle_sql() -> dict[str, str]:
                                         / 1152921504606846976.0) end,
                      4) as est_distinct
         from agg
+    """
+
+    sql["link_prediction"] = """
+        with e0 as (select distinct 'c' || cast(o_custkey as varchar) as src,
+                           's' || cast(l_suppkey as varchar) as dst
+                    from orders join lineitem on o_orderkey = l_orderkey),
+        et as (select * from e0 where
+               ('0x' || substr(md5(src || '|' || dst), 1, 15))::BIGINT
+               % 16 = 0),
+        und as (select src, dst from et union select dst, src from et),
+        d as (select src as node, count(*) as deg from und group by 1),
+        legs as (select u.src, u.dst, 1.0 / ln(d.deg) as w
+                 from und u join d on d.node = u.src
+                 where d.deg between 2 and 64),
+        cand as (select a.dst as u, b.dst as v,
+                        count(*) as common, sum(a.w) as aa
+                 from legs a join legs b
+                   on a.src = b.src and a.dst < b.dst
+                 group by 1, 2),
+        adj as (select src as u, dst as v from und where src < dst),
+        nonadj as (select c.* from cand c anti join adj using (u, v))
+        select n.u, n.v, n.common,
+               round(n.common::DOUBLE / (du.deg + dv.deg - n.common), 6)
+                 as jaccard,
+               round(n.aa, 6) as adamic_adar
+        from nonadj n
+        join d du on du.node = n.u
+        join d dv on dv.node = n.v
+        order by adamic_adar desc, u asc, v asc
+        limit 100
+    """
+
+    sql["cms_heavy_hitters"] = """
+        with keys as (select user_id from events where user_id is not null),
+        rows_ as (select unnest([0, 1, 2, 3]) as row_i),
+        counters as (
+          select row_i,
+                 ('0x' || substr(md5('cms' || row_i || ':'
+                                     || cast(user_id as varchar)),
+                                 1, 15))::BIGINT % 2048 as bucket,
+                 count(*) as cnt
+          from keys cross join rows_
+          group by 1, 2),
+        cand as (select distinct user_id from keys),
+        probes as (
+          select c.user_id, r.row_i,
+                 ('0x' || substr(md5('cms' || r.row_i || ':'
+                                     || cast(c.user_id as varchar)),
+                                 1, 15))::BIGINT % 2048 as bucket
+          from cand c cross join rows_ r),
+        est as (
+          select p.user_id, min(coalesce(t.cnt, 0)) as est_cnt
+          from probes p
+          left join counters t
+            on t.row_i = p.row_i and t.bucket = p.bucket
+          group by 1)
+        select user_id as key, est_cnt from est
+        where est_cnt >= 50
+        order by est_cnt desc, key asc
+        limit 100
     """
 
     sql["asof_state"] = """

@@ -21,7 +21,7 @@ Standard error ≈ 1/sqrt(k-2) — k=256 gives ~6%.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from graphrag_rs_spark.functions.hashing import h60
 
@@ -74,3 +74,90 @@ def kmv_distinct(values: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     one = values.select(F.lit(0).alias("_g"),
                         F.col(value_col).alias(value_col))
     return kmv_distinct_by(one, "_g", value_col, k).drop("_g")
+
+
+def _cms_bucket(key: Column, row_i: int, width: int) -> Column:
+    """Row-i CMS bucket of a key: h60 of a row-salted key, mod width.
+
+    The salt goes IN FRONT of the key (``cms{i}:<key>``) so the depth
+    rows are independent hash functions; both engines compute the same
+    positive bigint % positive int.
+    """
+    return h60(F.concat(F.lit(f"cms{row_i}:"), key)) % F.lit(int(width))
+
+
+def cms_build(df: DataFrame, key_col: str,
+              depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-min sketch counter table → (row_i:int, bucket:bigint, cnt:bigint).
+
+    Cormode & Muthukrishnan 2005: depth independent hash rows × width
+    counters; est(key) = min over rows of counter[row][h_row(key)], an
+    OVERestimate with error ≤ εN (ε = e/width) w.p. 1−e^−depth.  The
+    point at 100 TB: the sketch is ≤ depth·width rows of bounded state
+    that merges by SUMMING counters (union two corpora = unionByName +
+    re-agg), so frequency questions never need a per-key shuffle of the
+    full stream — one map-side-combinable agg, exactly like the KMV
+    sketch above.  Deterministic h60 hashing keeps every counter — and
+    therefore every ESTIMATE — bit-identical across engines and
+    parallelism levels.
+    """
+    k = F.col(key_col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("row_i"),
+                 _cms_bucket(k, i, width).alias("bucket"))
+        for i in range(int(depth))])
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row_i").alias("row_i"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 2048) -> DataFrame:
+    """Point-query a CMS → (key_col, est_cnt:bigint), min over depth rows.
+
+    `keys` is the CANDIDATE set (distinct, null-free after the filter
+    here) — at scale it comes from a prior stage (a sample, a watchlist,
+    a join key set), never from re-enumerating the sketched stream; the
+    sketch's job is to answer for a bounded candidate set without
+    re-scanning the corpus.  `counters` is ≤ depth·width rows, so the
+    join below broadcasts.  Keys absent from the stream read 0 via the
+    coalesce (their bucket may be missing entirely).
+    """
+    k = F.col(key_col).cast("string")
+    probes = keys.select(F.col(key_col)).filter(
+        F.col(key_col).isNotNull()).distinct().select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row_i"),
+                     _cms_bucket(k, i, width).alias("bucket"))
+            for i in range(int(depth))])).alias("rb"),
+    ).select(key_col, F.col("rb.row_i").alias("row_i"),
+             F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["row_i", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, min_count: int,
+                      depth: int = 4, width: int = 2048,
+                      top_k: int = 100) -> DataFrame:
+    """Heavy hitters by CMS estimate → (key, est_cnt), est ≥ min_count,
+    top-k by (est_cnt desc, key asc).  All-integer outputs, so the
+    ranking needs no rounding discipline.  The candidate set here is the
+    stream's own distinct keys (fine when the key domain is bounded —
+    users, domains, tools); for unbounded domains pair the sketch with a
+    candidate sampler upstream."""
+    counters = cms_build(df, key_col, depth, width)
+    est = cms_estimate(counters, df.select(key_col), key_col, depth, width)
+    return (
+        est.filter(F.col("est_cnt") >= int(min_count))
+        .select(F.col(key_col).alias("key"), "est_cnt")
+        .orderBy(F.col("est_cnt").desc(), F.col("key").asc())
+        .limit(int(top_k))
+    )

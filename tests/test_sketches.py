@@ -51,3 +51,66 @@ def test_global_variant_and_k_guard(spark):
     assert row.n_kept == 8 and row.est_distinct > 0
     with pytest.raises(ValueError):
         kmv_distinct(df, "v", k=2)
+
+
+# ---------------------------------------------------------------- CMS
+
+from graphrag_rs_spark.operators.sketches import (cms_build, cms_estimate,
+                                                  cms_heavy_hitters)
+
+
+def _stream(spark):
+    # key i appears (i+1)·10 times, i = 0..9
+    rows = [(str(i),) for i in range(10) for _ in range((i + 1) * 10)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_overestimates_never_under(spark):
+    df = _stream(spark)
+    counters = cms_build(df, "k", depth=4, width=64)
+    est = {r.k: r.est_cnt
+           for r in cms_estimate(counters, df.select("k"), "k",
+                                 depth=4, width=64).collect()}
+    for i in range(10):
+        assert est[str(i)] >= (i + 1) * 10
+    # wide sketch (no collisions among 10 keys) is exact
+    wide = cms_build(df, "k", depth=4, width=4096)
+    est_w = {r.k: r.est_cnt
+             for r in cms_estimate(wide, df.select("k"), "k",
+                                   depth=4, width=4096).collect()}
+    assert est_w == {str(i): (i + 1) * 10 for i in range(10)}
+
+
+def test_cms_absent_key_reads_zero(spark):
+    df = _stream(spark)
+    counters = cms_build(df, "k", depth=4, width=4096)
+    probe = spark.createDataFrame([("nope",)], "k string")
+    [r] = cms_estimate(counters, probe, "k", depth=4, width=4096).collect()
+    assert r.est_cnt == 0
+
+
+def test_cms_counters_merge_by_sum(spark):
+    from pyspark.sql import functions as F
+    df = _stream(spark)
+    lo = df.filter(F.col("k") < "5")
+    hi = df.filter(F.col("k") >= "5")
+    merged = (cms_build(lo, "k", width=64)
+              .unionByName(cms_build(hi, "k", width=64))
+              .groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = cms_build(df, "k", width=64)
+    assert merged.exceptAll(whole).isEmpty() \
+        and whole.exceptAll(merged).isEmpty()
+
+
+def test_cms_parallelism_invariance(spark):
+    df = _stream(spark)
+    a = sorted(map(tuple, cms_build(df.repartition(1), "k").collect()))
+    b = sorted(map(tuple, cms_build(df.repartition(32), "k").collect()))
+    assert a == b
+
+
+def test_cms_heavy_hitters_ranking(spark):
+    out = cms_heavy_hitters(_stream(spark), "k", min_count=50,
+                            width=4096, top_k=3).collect()
+    assert [(r.key, r.est_cnt) for r in out] == [
+        ("9", 100), ("8", 90), ("7", 80)]

@@ -507,6 +507,33 @@ def main() -> int:
         "over ≤ top_k rows only; the single-partition stage never sees "
         "more than top_k rows.", trim(p)))
 
+    p = plan_of(q["link_prediction"](spark, sf_dir))
+    check("link_prediction: wedge equi-join on shared neighbor, "
+          "no cartesian",
+          "CartesianProduct" not in p and "BatchEvalPython" not in p, "")
+    check("link_prediction: bounded top-k (no full global sort)",
+          "TakeOrderedAndProject" in p, "")
+    SECTIONS.append((
+        "link_prediction — Adamic-Adar wedge join with hub cap",
+        "Candidates come from an equi-join of capped-center edge legs on "
+        "the shared neighbor — one shuffle keyed on the center, fan-out "
+        "bounded by max_degree² per center, never all-pairs. Existing "
+        "edges leave via a left-anti join; scores round to 6 dp before "
+        "the TakeOrdered top-k.", trim(p)))
+
+    p = plan_of(q["cms_heavy_hitters"](spark, sf_dir))
+    check("cms: counter join broadcasts (sketch ≤ depth·width rows)",
+          "BroadcastHashJoin" in p, "")
+    check("cms: no Python, no cartesian",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "cms_heavy_hitters — count-min sketch heavy hitters",
+        "Counter build is explode(depth structs) → one map-side-"
+        "combinable hash agg into ≤ depth·width rows; the probe side "
+        "joins that bounded state via broadcast and takes min over "
+        "rows. All-integer outputs; frequency questions never shuffle "
+        "the full stream per key.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
