@@ -859,6 +859,28 @@ def q_cms_heavy_hitters(spark, sf_dir):
                              min_count=50, depth=4, width=2048, top_k=100)
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Engine-added Bloom-filter pruning: build the filter over users
+    who ever hit an 'error' event (4096 bits × 4 h60 hashes), probe
+    EVERY user — maybe=false is definite absence, so at scale the
+    probe prunes a 100 TB stream without joining the corpus."""
+    from graphrag_rs_spark.operators.sketches import (bloom_build,
+                                                      bloom_might_contain)
+    ev = _events(spark, sf_dir)
+    bloom = bloom_build(ev.filter(F.col("event_type") == "error"),
+                        "user_id", n_bits=4096, n_hashes=4)
+    return bloom_might_contain(bloom, ev.select("user_id"), "user_id",
+                               n_bits=4096, n_hashes=4)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Engine-added curation profile: per-source token-length
+    distribution (exact interpolated p50/p90/p99 — Spark `percentile`
+    == DuckDB `quantile_cont` value-identical)."""
+    from graphrag_rs_spark.operators.corpus import length_quantiles
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def q_asof_state(spark, sf_dir):
     """Engine-added as-of join: each error event picks up the latest
     at-or-before non-error reading of the same user (state-as-of-event).
@@ -1310,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "link_prediction": q_link_prediction,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_probe": q_bloom_probe,
+        "length_quantiles": q_length_quantiles,
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
@@ -2803,6 +2827,44 @@ def oracle_sql() -> dict[str, str]:
         where est_cnt >= 50
         order by est_cnt desc, key asc
         limit 100
+    """
+
+    sql["bloom_probe"] = """
+        with rows_ as (select unnest([0, 1, 2, 3]) as row_i),
+        ks as (select distinct user_id from events
+               where event_type = 'error' and user_id is not null),
+        slots as (
+          select ('0x' || substr(md5('bf' || row_i || ':'
+                                     || cast(user_id as varchar)),
+                                 1, 15))::BIGINT % 4096 as pos
+          from ks cross join rows_),
+        words as (select pos // 32 as word_idx,
+                         bit_or(1::BIGINT << (pos % 32)::INT) as bits
+                  from slots group by 1),
+        cand as (select distinct user_id from events
+                 where user_id is not null),
+        probes as (
+          select c.user_id,
+                 ('0x' || substr(md5('bf' || r.row_i || ':'
+                                     || cast(c.user_id as varchar)),
+                                 1, 15))::BIGINT % 4096 as pos
+          from cand c cross join rows_ r),
+        j as (select p.user_id,
+                     (coalesce(w.bits, 0)
+                      & (1::BIGINT << (p.pos % 32)::INT)) <> 0 as hit
+              from probes p
+              left join words w on w.word_idx = p.pos // 32)
+        select user_id, bool_and(hit) as maybe from j group by 1
+    """
+
+    sql["length_quantiles"] = f"""
+        with n as (select source, len({_TOKS}) as n_tokens from documents)
+        select source, count(*) as n_docs,
+               round(avg(n_tokens), 6) as mean_tokens,
+               round(quantile_cont(n_tokens, 0.5), 6) as p50,
+               round(quantile_cont(n_tokens, 0.9), 6) as p90,
+               round(quantile_cont(n_tokens, 0.99), 6) as p99
+        from n group by source
     """
 
     sql["asof_state"] = """

@@ -58,6 +58,34 @@ def source_stats(docs: DataFrame, id_col: str = "doc_id",
                  .alias("dup_frac")))
 
 
+def length_quantiles(docs: DataFrame, text_col: str = "text",
+                     source_col: str = "source",
+                     probs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                     ) -> DataFrame:
+    """Per-source token-length distribution → (source, n_docs,
+    mean_tokens, p50, p90, p99 …), quantiles/means rounded to 6 dp.
+
+    The length profile is THE first curation dial (truncation budgets,
+    packing bin sizes, "this domain is all stubs / all dumps" cuts).
+    Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, value-identical) — exact holds the per-GROUP
+    value list in the agg buffer, fine while sources stay ≤ ~10⁸ docs
+    each; past that swap `percentile` → `approx_percentile` per group
+    (same plan shape, engine-private estimate, documented tradeoff).
+    """
+    from graphrag_rs_spark.functions.hashing import tokens
+
+    base = docs.select(F.col(source_col).alias("source"),
+                       F.size(tokens(F.col(text_col))).alias("n_tokens"))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens")]
+    for p in probs:
+        aggs.append(
+            F.round(F.percentile("n_tokens", F.lit(float(p))), 6)
+            .alias(f"p{int(round(p * 100))}"))
+    return base.groupBy("source").agg(*aggs)
+
+
 def skew_stats(df: DataFrame, key_col: str, top_k: int = 50) -> DataFrame:
     """Heavy-hitter profile of a prospective shuffle key →
     (key, cnt, share, cum_share, rank), top_k keys by count.

@@ -144,6 +144,75 @@ def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str,
     )
 
 
+def _bloom_probe_cols(key: Column, n_hashes: int, n_bits: int) -> Column:
+    """array<struct<word_idx,mask>> — the n_hashes (word, bit-mask) slots
+    of a key.  32 bits per bigint word keeps every mask positive and
+    engine-portable (no sign-bit shifts)."""
+    slots = []
+    for i in range(int(n_hashes)):
+        pos = h60(F.concat(F.lit(f"bf{i}:"), key)) % F.lit(int(n_bits))
+        slots.append(F.struct(
+            (pos - pos % 32).cast("bigint").alias("_p32"),
+            (pos % 32).cast("int").alias("_bit")))
+    return F.array(*slots)
+
+
+def bloom_build(df: DataFrame, key_col: str,
+                n_bits: int = 1 << 20, n_hashes: int = 4) -> DataFrame:
+    """Bloom filter over a key column → (word_idx:bigint, bits:bigint).
+
+    Bounded mergeable state (≤ n_bits/32 rows; union two filters =
+    unionByName + bit_or re-agg), built in ONE map-side-combinable agg.
+    The 100 TB use: probe a new batch against the known-corpus filter
+    (`bloom_might_contain`) WITHOUT joining the corpus — the filter
+    broadcasts, the corpus never reshuffles.  False-positive rate
+    ≈ (1 − e^{−kn/m})^k; size n_bits ≈ 10× expected keys for ~1% at
+    k=4.  h60 hashing makes the filter — and every probe verdict —
+    bit-identical across engines and parallelism levels.
+    """
+    if n_bits % 32 != 0:
+        raise ValueError("n_bits must be a multiple of 32")
+    k = F.col(key_col).cast("string")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_bloom_probe_cols(k, n_hashes, n_bits))
+                .alias("s"))
+        .select((F.col("s._p32") / 32).cast("bigint").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), s._bit)")
+                .alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(bloom: DataFrame, keys: DataFrame, key_col: str,
+                        n_bits: int = 1 << 20,
+                        n_hashes: int = 4) -> DataFrame:
+    """Probe a Bloom filter → (key_col, maybe:boolean), one row per
+    distinct non-null key.  `maybe=false` is DEFINITE absence (the
+    pruning guarantee); `maybe=true` is membership up to the FP rate.
+    The filter side broadcasts (≤ n_bits/32 rows); keys absent from
+    every built word read 0 via the coalesce."""
+    k = F.col(key_col).cast("string")
+    probes = (
+        keys.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+        .select(key_col,
+                F.explode(_bloom_probe_cols(k, n_hashes, n_bits))
+                .alias("s"))
+        .select(key_col,
+                (F.col("s._p32") / 32).cast("bigint").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), s._bit)")
+                .alias("mask"))
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(key_col)
+        .agg(F.bool_and(
+            (F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("mask")) != 0))
+            .alias("maybe"))
+    )
+
+
 def cms_heavy_hitters(df: DataFrame, key_col: str, min_count: int,
                       depth: int = 4, width: int = 2048,
                       top_k: int = 100) -> DataFrame:

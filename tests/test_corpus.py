@@ -110,3 +110,17 @@ def test_sample_token_budget_boundary_is_partial(spark):
         F.col("id").cast("string").alias("key"), F.lit(10).alias("w"))
     out = sample_token_budget(df, "key", "w", budget=105)
     assert out.count() == 10  # 10 docs * 10 tokens = 100 <= 105 < 110
+
+
+def test_length_quantiles_golden(spark):
+    from graphrag_rs_spark.operators.corpus import length_quantiles
+    # token counts 1..5 for source s (texts of i single-letter words)
+    rows = [("s", " ".join(["a"] * i)) for i in range(1, 6)]
+    rows += [("t", "only four words here")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in length_quantiles(df).collect()}
+    s = out["s"]
+    assert (s.n_docs, s.mean_tokens, s.p50) == (5, 3.0, 3.0)
+    assert s.p90 == 4.6 and s.p99 == 4.96  # linear interpolation
+    t = out["t"]
+    assert (t.n_docs, t.p50, t.p99) == (1, 4.0, 4.0)

@@ -114,3 +114,60 @@ def test_cms_heavy_hitters_ranking(spark):
                             width=4096, top_k=3).collect()
     assert [(r.key, r.est_cnt) for r in out] == [
         ("9", 100), ("8", 90), ("7", 80)]
+
+
+# -------------------------------------------------------------- Bloom
+
+from graphrag_rs_spark.operators.sketches import (bloom_build,
+                                                  bloom_might_contain)
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)],
+                                 "k string")
+    bloom = bloom_build(keys, "k", n_bits=4096, n_hashes=4)
+    out = bloom_might_contain(bloom, keys, "k", n_bits=4096, n_hashes=4)
+    assert out.count() == 200
+    assert all(r.maybe for r in out.collect())
+
+
+def test_bloom_definite_absence(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)],
+                                 "k string")
+    other = spark.createDataFrame([(f"absent{i}",) for i in range(20)],
+                                  "k string")
+    bloom = bloom_build(keys, "k", n_bits=65536, n_hashes=4)
+    hits = [r.maybe for r in
+            bloom_might_contain(bloom, other, "k",
+                                n_bits=65536, n_hashes=4).collect()]
+    # 20 keys in 64k bits: P(any fp) < 1e-8 — all definite absences
+    assert not any(hits)
+
+
+def test_bloom_merges_by_bit_or(spark):
+    from pyspark.sql import functions as F
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(100)],
+                                 "k string")
+    lo = keys.filter(F.col("k") < "k5")
+    hi = keys.filter(F.col("k") >= "k5")
+    merged = (bloom_build(lo, "k", n_bits=4096)
+              .unionByName(bloom_build(hi, "k", n_bits=4096))
+              .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
+    whole = bloom_build(keys, "k", n_bits=4096)
+    assert merged.exceptAll(whole).isEmpty() \
+        and whole.exceptAll(merged).isEmpty()
+
+
+def test_bloom_parallelism_invariance_and_guard(spark):
+    import pytest
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)],
+                                 "k string")
+    a = sorted(map(tuple,
+                   bloom_build(keys.repartition(1), "k",
+                               n_bits=4096).collect()))
+    b = sorted(map(tuple,
+                   bloom_build(keys.repartition(32), "k",
+                               n_bits=4096).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        bloom_build(keys, "k", n_bits=100)

@@ -534,6 +534,30 @@ def main() -> int:
         "rows. All-integer outputs; frequency questions never shuffle "
         "the full stream per key.", trim(p)))
 
+    p = plan_of(q["bloom_probe"](spark, sf_dir))
+    check("bloom: filter side broadcasts (≤ n_bits/32 rows)",
+          "BroadcastHashJoin" in p, "")
+    check("bloom: no Python, no cartesian",
+          "BatchEvalPython" not in p and "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "bloom_probe — Bloom-filter membership pruning",
+        "Build is explode(n_hashes slots) → one map-side-combinable "
+        "bit_or agg into ≤ n_bits/32 words; the probe joins that "
+        "broadcast state and bool_and's the bit tests — the probed "
+        "stream is never reshuffled, which is the whole point at "
+        "100 TB (maybe=false prunes definitively).", trim(p)))
+
+    p = plan_of(q["length_quantiles"](spark, sf_dir))
+    check("length_quantiles: single agg, no Python",
+          "BatchEvalPython" not in p and "Join" not in p, "")
+    SECTIONS.append((
+        "length_quantiles — per-source token-length profile",
+        "One scan-side tokenize projection + one groupBy(source) agg; "
+        "exact interpolated percentiles (engine-portable vs DuckDB "
+        "quantile_cont). Per-group exact state is the documented "
+        "tradeoff — swap to approx_percentile past ~10⁸ docs/source.",
+        trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
