@@ -670,6 +670,46 @@ def q_pagerank(spark, sf_dir):
                     damping=0.85, iterations=5)
 
 
+def q_hits(spark, sf_dir):
+    """Engine-added HITS (algos/hits.py): 5 fixed iterations on the
+    DIRECTED customer→supplier graph — hubs are customers spreading
+    orders across important suppliers, authorities the suppliers they
+    concentrate on; L1-normalized so the oracle unrolls plain sums."""
+    from graphrag_rs_spark.algos.hits import hits
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e0 = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        .distinct())
+    return hits(e0, iterations=5)
+
+
+def q_lpa(spark, sf_dir):
+    """Engine-added label-propagation communities (algos/lpa.py): 4
+    synchronous self-vote rounds on the UNDIRECTED customer↔supplier
+    graph — deterministic (total tie-break), so the oracle unrolls the
+    exact vote arithmetic round by round."""
+    from graphrag_rs_spark.algos.lpa import lpa_communities
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    e0 = (
+        orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        .distinct())
+    return lpa_communities(e0, iterations=4)
+
+
 def q_pagerank_warm(spark, sf_dir):
     """G5 incremental PageRank: warm-start from a 3-iteration solution,
     run 2 more warm iterations.  Power iteration composes, so this lands
@@ -1318,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
         "pagerank_warm": q_pagerank_warm,
+        "hits": q_hits,
+        "lpa_communities": q_lpa,
         "hier_summary": q_hier_summary,
         "events_hourly": q_events_hourly,
         "graph_evolution": q_graph_evolution,
@@ -1404,6 +1446,75 @@ def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
         )
     return ("with " + ",\n".join(ctes)
             + f"\nselect node, round(rank, 8) as rank from r{iterations}")
+
+
+def _hits_sql(iterations: int = 5) -> str:
+    """Unrolled HITS oracle — replicates algos/hits.py exactly: L1
+    normalization per half-step, every node present (coalesce 0),
+    round to 8 dp at the end only.
+
+    Every CTE references its predecessor exactly ONCE (the L1 total
+    rides as a window `sum/max over ()`, never a second scan) — a
+    second reference makes DuckDB inline the whole chain twice per
+    half-step, i.e. a measured ~7× slowdown PER ITERATION."""
+    ctes = [
+        "e0 as (select distinct 'c' || o_custkey as src, "
+        "'s' || l_suppkey as dst "
+        "from orders join lineitem on o_orderkey = l_orderkey)",
+        "n as (select src as node from e0 union select dst from e0)",
+        "h0 as (select node, 1.0 as score from n)",
+    ]
+
+    def half(out, raw, frm, score_on, flow_to):
+        ctes.append(
+            f"{raw} as (select node, x, sum(x) over () as _t from ("
+            f"select e0.{flow_to} as node, sum(f.score) as x "
+            f"from e0 join {frm} f on f.node = e0.{score_on} "
+            f"group by 1))")
+        ctes.append(
+            f"{out} as (select node, case when _tt > 0 then "
+            f"coalesce(x, 0) / _tt else 0.0 end as score from ("
+            f"select n.node, r.x, max(r._t) over () as _tt "
+            f"from n left join {raw} r on r.node = n.node))")
+
+    for i in range(1, iterations + 1):
+        half(f"a{i}", f"a{i}r", f"h{i-1}", "src", "dst")
+        half(f"h{i}", f"h{i}r", f"a{i}", "dst", "src")
+    return ("with " + ",\n".join(ctes)
+            + f"\nselect h.node, round(h.score, 8) as hub, "
+            f"round(a.score, 8) as authority "
+            f"from h{iterations} h join a{iterations} a using (node)")
+
+
+def _lpa_sql(iterations: int = 4) -> str:
+    """Unrolled LPA oracle — replicates algos/lpa.py exactly: undirected
+    dedup'd edges + one self-loop per node (the self-vote), argmax with
+    (count desc, label asc) total tie-break, per round.
+
+    The self-vote is an edge, not a second scan of l{i-1}: each CTE
+    references its predecessor exactly once, or DuckDB inlines the
+    chain 2^rounds times (same blowup measured on the HITS oracle)."""
+    ctes = [
+        "e0 as (select distinct 'c' || o_custkey as src, "
+        "'s' || l_suppkey as dst "
+        "from orders join lineitem on o_orderkey = l_orderkey)",
+        "ue0 as (select src, dst from e0 union select dst, src from e0)",
+        "nn as (select distinct src as node from ue0)",
+        "ue as (select src, dst from ue0 "
+        "union all select node, node from nn)",
+        "l0 as (select node, node as label from nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"v{i} as (select ue.dst as node, l.label, count(*) as c "
+            f"from ue join l{i-1} l on l.node = ue.src group by 1, 2)")
+        ctes.append(
+            f"l{i} as (select node, label from ("
+            f"select node, label, row_number() over ("
+            f"partition by node order by c desc, label asc) as rn "
+            f"from v{i}) where rn = 1)")
+    return ("with " + ",\n".join(ctes)
+            + f"\nselect node, label as community from l{iterations}")
 
 
 def _pagerank_cte_prefix() -> list[str]:
@@ -2598,6 +2709,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["pagerank"] = _pagerank_sql(5, 0.85)
+    sql["hits"] = _hits_sql(5)
+    sql["lpa_communities"] = _lpa_sql(4)
     sql["pagerank_warm"] = _pagerank_warm_sql(3, 2, 0.85)
     sql["hier_summary"] = _hier_summary_sql(4, 600, 8, 20)
 

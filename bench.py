@@ -113,7 +113,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "quality_classifier", "asof_state", "range_band_join",
                  "kmv_distinct", "kcore", "skew_stats",
                  "link_prediction", "cms_heavy_hitters",
-                 "bloom_probe", "length_quantiles"):
+                 "bloom_probe", "length_quantiles", "hits",
+                 "lpa_communities"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

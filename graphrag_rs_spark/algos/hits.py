@@ -1,0 +1,73 @@
+"""HITS (hubs & authorities) as an iterative DataFrame join loop.
+
+Kleinberg 1999, fixed-iteration form (companion to algos/pagerank.py —
+the reference ships PageRank, graph/pagerank.rs; HITS is the
+engine-added dual for DIRECTED kg queries: "which entities point at the
+important ones" vs "which are pointed at"):
+
+    a'(v) = Σ_{u→v} h(u)      (one shuffle on dst)
+    h'(u) = Σ_{u→v} a'(v)     (one shuffle on src)
+
+with L1 normalization (scores sum to 1) after each half-step — a
+documented variant of the classic L2 norm: the fixed point spans the
+same principal eigenvector direction, and a plain SUM is exactly
+replayable by the DuckDB oracle (no sqrt).  Like pagerank, the
+fixed-iteration form is deterministic, so the oracle unrolls the exact
+arithmetic; scores round to 8 dp at the END only.  Lineage is cut with
+an eager localCheckpoint per iteration.
+
+Nodes with no in-edges hold authority 0; no out-edges, hub 0 — every
+node appears in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """→ (node, hub, authority) after `iterations` full HITS steps.
+
+    `edges`: (src, dst), direction src→dst, deduplicated here.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # init scale is irrelevant under L1 normalization — start at 1
+    h = nodes.withColumn("score", F.lit(1.0))
+
+    def _half(frm: DataFrame, key: str, out: str) -> DataFrame:
+        """One half-step: pull scores across edges onto `out`-side nodes,
+        then L1-normalize.  `key` is the edge column the current scores
+        sit on; `out` the column they flow to."""
+        raw = (
+            e.join(frm, e[key] == frm["node"])
+            .groupBy(e[out].alias("node"))
+            .agg(F.sum("score").alias("x"))
+        )
+        total = raw.agg(F.sum("x").alias("_t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select("node",
+                    F.when(F.col("_t") > 0,
+                           F.coalesce("x", F.lit(0.0)) / F.col("_t"))
+                    .otherwise(0.0).alias("score"))
+        )
+
+    a = None
+    for _ in range(int(iterations)):
+        a = _half(h, "src", "dst").localCheckpoint(eager=True)
+        h = _half(a, "dst", "src").localCheckpoint(eager=True)
+    out = (
+        h.select("node", F.round("score", 8).alias("hub"))
+        .join(a.select("node", F.round("score", 8).alias("authority")),
+              "node")
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -240,3 +240,62 @@ def test_query_focused_subgraph_per_seed_edges(spark):
     assert {r["node"] for r in nodes.collect()} == {"S1", "x", "y", "S2"}
     assert {(r["src"], r["dst"]) for r in sub_edges.collect()} == \
         {("S1", "x"), ("y", "S2")}
+
+
+def test_hits_golden_bipartite(spark):
+    from graphrag_rs_spark.algos.hits import hits
+    # p2 links both authorities; symmetric wings
+    e = spark.createDataFrame(
+        [("p1", "a1"), ("p2", "a1"), ("p2", "a2"), ("p3", "a2")],
+        "src string, dst string")
+    out = {r.node: r for r in hits(e, iterations=3).collect()}
+    assert len(out) == 5
+    assert out["p2"].hub == 0.5
+    assert out["p1"].hub == 0.25 and out["p3"].hub == 0.25
+    assert out["a1"].authority == 0.5 and out["a2"].authority == 0.5
+    # sources hold no authority, sinks no hub score
+    assert all(out[p].authority == 0.0 for p in ("p1", "p2", "p3"))
+    assert all(out[a].hub == 0.0 for a in ("a1", "a2"))
+
+
+def test_hits_cycle_is_uniform(spark):
+    from graphrag_rs_spark.algos.hits import hits
+    e = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "1")], "src string, dst string")
+    for r in hits(e, iterations=4).collect():
+        assert r.hub == round(1 / 3, 8) and r.authority == round(1 / 3, 8)
+
+
+def test_lpa_two_triangles_bridge(spark):
+    from graphrag_rs_spark.algos.lpa import lpa_communities
+    e = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+         ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+         ("a3", "b1")],
+        "src string, dst string")
+    out = {r.node: r.community for r in
+           lpa_communities(e, iterations=4).collect()}
+    assert out == {"a1": "a1", "a2": "a1", "a3": "a1",
+                   "b1": "b1", "b2": "b1", "b3": "b1"}
+
+
+def test_lpa_star_collapses_to_center(spark):
+    from graphrag_rs_spark.algos.lpa import lpa_communities
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string")
+    out = {r.node: r.community for r in
+           lpa_communities(e, iterations=3).collect()}
+    assert set(out.values()) == {"a"} and len(out) == 4
+
+
+def test_lpa_self_vote_damps_bipartite_oscillation(spark):
+    from graphrag_rs_spark.algos.lpa import lpa_communities
+    # 4-cycle is bipartite: pure synchronous LPA 2-cycles on it; the
+    # self-vote pins the fixed point (everything -> min label "a")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    for iters in (3, 4):
+        out = {r.node: r.community for r in
+               lpa_communities(e, iterations=iters).collect()}
+        assert set(out.values()) == {"a"} and len(out) == 4

@@ -226,6 +226,45 @@ def main() -> int:
         "whole step is ONE job with no driver-side collect; lineage is "
         "cut by an eager localCheckpoint per step.", trim(p)))
 
+    # 8b. HITS half-step: the L1 total is a 1-row broadcast aggregate
+    # cross-joined into the normalization, same shape as pagerank's
+    # dangling mass; the returned frame is checkpoint-materialized
+    from graphrag_rs_spark.algos.hits import hits
+    ph = plan_of(hits(edges_pr, iterations=1))
+    check("hits: no Python", "BatchEvalPython" not in ph
+          and "MapInPandas" not in ph, "")
+    # both hub and authority are N-node-sized at scale — a sort-merge
+    # join of the two CHECKPOINTED scans is the right plan (no
+    # broadcast, and no lazy recomputation of the iteration tail)
+    # every half-step contains a groupBy, so a lazy iteration tail
+    # would surface as a HashAggregate above the checkpoint scans
+    check("hits: final join reads two checkpointed scans (no lazy tail)",
+          "Scan ExistingRDD" in ph and "HashAggregate" not in ph
+          and "Window" not in ph,
+          "expected hub⋈authority over localCheckpoint scans only")
+    SECTIONS.append((
+        "hits — hub/authority half-steps",
+        "Each half-step is one keyed shuffle (scores pulled across "
+        "edges) plus a 1-row L1-total broadcast cross-joined into the "
+        "normalization — no driver-side collect; lineage cut by an "
+        "eager localCheckpoint per half-step.", trim(ph)))
+
+    # 8c. LPA round: vote count + argmax window, JVM-side throughout;
+    # the returned frame is a scan of the final checkpoint
+    from graphrag_rs_spark.algos.lpa import lpa_communities
+    pl = plan_of(lpa_communities(edges_pr, iterations=1))
+    check("lpa: no Python", "BatchEvalPython" not in pl
+          and "MapInPandas" not in pl, "")
+    check("lpa: returned frame is materialized (no lazy vote tail)",
+          "Join" not in pl and "Window" not in pl,
+          "expected Scan ExistingRDD over the final round checkpoint")
+    SECTIONS.append((
+        "lpa_communities — one synchronous vote round",
+        "Each round is a keyed shuffle for the neighbor-vote counts "
+        "plus a per-node argmax window; the self-vote unions in as "
+        "rows, not a driver merge. Lineage cut per round by eager "
+        "localCheckpoint.", trim(pl)))
+
     # 9. kg_sql_triples — the SQL-expressible flagship path end-to-end
     p = plan_of(q["kg_sql_triples"](spark, sf_dir))
     check("kg_sql: no Python anywhere",
