@@ -416,6 +416,30 @@ def q_embedding_knn(spark, sf_dir):
     return cosine_topk(emb, queries, k=10)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified reranking (engine-added; Carbonell & Goldstein
+    1998 — the reference reranks by relevance only): per query, the
+    cosine top-20 candidates are greedily re-selected down to 5 trading
+    relevance (lam=0.7) against max similarity to what is already
+    picked.  The DuckDB oracle unrolls all 5 greedy steps with
+    materialized CTEs (correlated max over the selected set)."""
+    from graphrag_rs_spark.operators.similarity import cosine_topk
+    from graphrag_rs_spark.retrieval.mmr import mmr_rerank
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cand = cosine_topk(emb, queries_df, k=20) \
+        .select("query_id", "vec_id", F.col("sim").alias("rel")) \
+        .join(emb, "vec_id") \
+        .select("query_id", "vec_id", "rel", "embedding")
+    out = mmr_rerank(cand, k=5, lam=0.7)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("pick").cast("int").alias("pick"),
+        "mmr_score")
+
+
 def q_hash_embeddings(spark, sf_dir):
     """Q1 hash-TF embeddings (reference's no-GPU embedder), 16-dim."""
     from graphrag_rs_spark.functions.embeddings import hash_embeddings
@@ -1345,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dual_retrieval": q_dual_retrieval,
         "hash_embeddings": q_hash_embeddings,
         "embedding_knn": q_embedding_knn,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_banded": q_near_dup_banded,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -2250,6 +2275,59 @@ def oracle_sql() -> dict[str, str]:
         r as (select *, row_number() over (partition by query_id
                   order by sim desc, vec_id asc) as rank from s)
         select query_id, vec_id, sim, rank from r where rank <= 10
+    """
+
+    # mmr_rerank oracle: the 5 greedy MMR steps unrolled.  Every CTE is
+    # MATERIALIZED — step i references step i-1 three times (NOT EXISTS,
+    # correlated max over the selected set, union), which un-materialized
+    # would re-inline the whole upstream chain 3^steps times (the
+    # unrolled-iteration DuckDB gotcha documented on the HITS oracle).
+    _mc = ("round(list_dot_product({a}, {b}) / (sqrt(list_dot_product("
+           "{a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)")
+    _mmr_steps = []
+    for _i in range(2, 6):
+        _prev = f"s{_i - 1}"
+        _mmr_steps.append(f""",
+        c{_i} as materialized (
+          select c.query_id, c.vec_id, c.vv,
+                 round(0.7 * c.rel - 0.3 * (
+                     select max({_mc.format(a='c.vv', b='s.vv')})
+                     from {_prev} s where s.query_id = c.query_id), 6)
+                   as score
+          from cand c
+          where not exists (select 1 from {_prev} p
+                            where p.query_id = c.query_id
+                              and p.vec_id = c.vec_id)),
+        p{_i} as materialized (
+          select query_id, vec_id, vv, score as mmr_score, {_i} as pick
+          from (select *, row_number() over (partition by query_id
+                    order by score desc, vec_id asc) as rn from c{_i})
+          where rn = 1),
+        s{_i} as materialized (
+          select query_id, vec_id, vv, mmr_score, pick from {_prev}
+          union all
+          select query_id, vec_id, vv, mmr_score, pick from p{_i})""")
+    sql["mmr_rerank"] = f"""
+        with v as materialized (
+          select vec_id::BIGINT as vec_id, embedding::DOUBLE[] as vv
+          from embeddings),
+        q as materialized (
+          select vec_id as query_id, vv as qv from v where vec_id < 3),
+        cand as materialized (
+          select query_id, vec_id, rel, vv from (
+            select q.query_id, v.vec_id, v.vv,
+                   {_mc.format(a='q.qv', b='v.vv')} as rel,
+                   row_number() over (partition by q.query_id
+                       order by {_mc.format(a='q.qv', b='v.vv')} desc,
+                                v.vec_id asc) as rn
+            from q cross join v) where rn <= 20),
+        s1 as materialized (
+          select query_id, vec_id, vv, round(0.7 * rel, 6) as mmr_score,
+                 1 as pick
+          from (select *, row_number() over (partition by query_id
+                    order by rel desc, vec_id asc) as rn from cand)
+          where rn = 1){''.join(_mmr_steps)}
+        select query_id, vec_id, pick::INT as pick, mmr_score from s5
     """
 
     sql["hash_embeddings"] = f"""

@@ -597,6 +597,23 @@ def main() -> int:
         "tradeoff — swap to approx_percentile past ~10⁸ docs/source.",
         trim(p)))
 
+    p = plan_of(q["mmr_rerank"](spark, sf_dir))
+    check("mmr: greedy selection is Arrow-batched, not row-at-a-time",
+          "FlatMapGroupsInPandas" in p and "BatchEvalPython" not in p,
+          "expected applyInPandas (FlatMapGroupsInPandas) only")
+    check("mmr: candidate generation broadcasts the query side",
+          "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
+          "3-row query side should broadcast")
+    SECTIONS.append((
+        "mmr_rerank — greedy MMR diversified top-k",
+        "Candidate generation is the exact cosine top-20 (query side "
+        "broadcast, codegen zip_with/aggregate dot products); the "
+        "inherently-sequential greedy selection runs per query group as "
+        "one Arrow-batched FlatMapGroupsInPandas — a single shuffle on "
+        "query_id, O(k·n·dim) per group bounded by the candidate-list "
+        "contract, millions of query groups in parallel at 100 TB.",
+        trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
