@@ -682,6 +682,43 @@ def q_clustering_coeff(spark, sf_dir):
                       F.round("clustering", 6).alias("clustering"))
 
 
+_CENT_SEED_MOD, _CENT_DEPTH = 41, 4
+
+
+def _cent_seeds(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.select(F.col("vec_id").cast("long").alias("node")) \
+        .filter(F.col("node") % _CENT_SEED_MOD == 0)
+
+
+def q_closeness(spark, sf_dir):
+    """G8 closeness centrality (analytics.rs:249-267: reachable /
+    total_dist, 0.0 if isolated) — exact depth-capped closeness of the
+    deterministic seed set over the ring+chord graph, per-source frontier
+    BFS keyed (source, node)."""
+    from graphrag_rs_spark.algos.centrality import closeness_centrality
+    out = closeness_centrality(_ring_edges(spark, sf_dir),
+                               _cent_seeds(spark, sf_dir),
+                               max_depth=_CENT_DEPTH)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "reachable", "total_dist", "closeness")
+
+
+def q_betweenness(spark, sf_dir):
+    """G8 betweenness centrality (analytics.rs:218-246) — Brandes
+    pair-dependency accumulation from the sampled seed set (Brandes &
+    Pich estimator rescale), sigma path counts exact, deltas rounded per
+    level; oracle unrolls all 4 forward + 4 backward levels."""
+    from graphrag_rs_spark.algos.centrality import betweenness_centrality
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = betweenness_centrality(_ring_edges(spark, sf_dir),
+                                 _cent_seeds(spark, sf_dir),
+                                 max_depth=_CENT_DEPTH,
+                                 n_total=emb.count())
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "delta_sum", "betweenness")
+
+
 def q_graph_degree(spark, sf_dir):
     edges = _cust_supp_edges(spark, sf_dir)
     return edges.groupBy(F.col("src").alias("node")).agg(
@@ -1379,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "graph_degree": q_graph_degree,
         "clustering_coeff": q_clustering_coeff,
+        "closeness": q_closeness,
+        "betweenness": q_betweenness,
         "community_reports": q_community_reports,
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
@@ -2771,6 +2810,99 @@ def oracle_sql() -> dict[str, str]:
                      then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
                      else 0.0 end, 6) as clustering
         from deg left join tri on tri.center = deg.node
+    """
+
+    # closeness/betweenness oracles: Brandes forward (BFS dist + exact
+    # sigma path counts) unrolled 4 levels, then — for betweenness — the
+    # backward dependency recurrence unrolled 4 levels.  Every CTE is
+    # MATERIALIZED (the unrolled-iteration gotcha: f_d is referenced by
+    # both v_d and f_{d+1}); backward level d joins ONLY level d+1's
+    # deltas (successors on the shortest-path DAG sit exactly one level
+    # deeper), mirroring the per-level 6-dp rounding of
+    # algos/centrality.py.
+    _cent_fwd = f"""
+        with nn as materialized (select count(*)::BIGINT as c from embeddings),
+        ids as materialized (select vec_id::BIGINT as i from embeddings),
+        e0 as materialized (
+          select i as src, (i + 1) % c as dst from ids, nn
+          union all
+          select i, (i + 2) % c from ids, nn
+          union all
+          select i, (i * 2 + 1) % c from ids, nn),
+        e as materialized (
+          select distinct src, dst from (
+            select src, dst from e0 union all select dst, src from e0)
+          where src <> dst),
+        v0 as materialized (
+          select i as source, i as node, 0 as dist, 1::BIGINT as sigma
+          from ids where i % {_CENT_SEED_MOD} = 0)"""
+    for _d in range(1, _CENT_DEPTH + 1):
+        _f, _pf = f"f{_d}", ("v0" if _d == 1 else f"f{_d - 1}")
+        _pv = f"v{_d - 1}" if _d > 1 else "v0"
+        _cent_fwd += f""",
+        {_f} as materialized (
+          select v.source, e.dst as node, {_d} as dist,
+                 sum(v.sigma)::BIGINT as sigma
+          from {_pf} v join e on e.src = v.node
+          where not exists (select 1 from {_pv} p
+                            where p.source = v.source and p.node = e.dst)
+          group by v.source, e.dst),
+        v{_d} as materialized (
+          select * from {_pv} union all select * from {_f})"""
+    _cent_v = f"v{_CENT_DEPTH}"
+
+    sql["closeness"] = _cent_fwd + f""",
+        per as materialized (
+          select source as node, count(*)::BIGINT as reachable,
+                 sum(dist)::BIGINT as total_dist
+          from {_cent_v} where dist > 0 group by source)
+        select s.node,
+               coalesce(per.reachable, 0)::BIGINT as reachable,
+               coalesce(per.total_dist, 0)::BIGINT as total_dist,
+               round(case when coalesce(per.total_dist, 0) > 0
+                     then per.reachable::DOUBLE / per.total_dist
+                     else 0.0 end, 6) as closeness
+        from (select i as node from ids where i % {_CENT_SEED_MOD} = 0) s
+        left join per using (node)
+    """
+
+    _cent_bwd = f""",
+        dag as materialized (
+          select a.source, a.node as v, a.dist as v_dist,
+                 a.sigma as v_sigma, b.node as w, b.sigma as w_sigma
+          from {_cent_v} a
+          join e on e.src = a.node
+          join {_cent_v} b on b.source = a.source and b.node = e.dst
+                          and b.dist = a.dist + 1)"""
+    for _d in range(_CENT_DEPTH - 1, -1, -1):
+        _join = "" if _d == _CENT_DEPTH - 1 else f"""
+          left join d{_d + 1} x on x.source = dag.source and x.node = dag.w"""
+        _delta = ("1000000.0" if _d == _CENT_DEPTH - 1
+                  else "(1000000.0 + coalesce(x.du, 0))")
+        _cent_bwd += f""",
+        d{_d} as materialized (
+          select dag.source, dag.v as node,
+                 sum(round(dag.v_sigma * {_delta}
+                           / dag.w_sigma)::BIGINT)::BIGINT as du
+          from dag{_join}
+          where dag.v_dist = {_d} group by dag.source, dag.v)"""
+    _cent_union = " union all ".join(
+        f"select * from d{_d}" for _d in range(_CENT_DEPTH))
+
+    sql["betweenness"] = _cent_fwd + _cent_bwd + f""",
+        deltas as materialized ({_cent_union}),
+        consts as materialized (
+          select nn.c as n,
+                 (select count(*) from ids
+                  where i % {_CENT_SEED_MOD} = 0)::BIGINT as s
+          from nn)
+        select node, round(du / 1000000.0, 6) as delta_sum,
+               round(du / 1000000.0
+                     * ((n::DOUBLE / s) / ((n - 1) * (n - 2))), 6)
+                 as betweenness
+        from (select node, sum(du)::BIGINT as du
+              from deltas where node <> source group by node), consts
+        where du > 0
     """
 
     sql["concept_pairs"] = f"""

@@ -114,7 +114,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "kmv_distinct", "kcore", "skew_stats",
                  "link_prediction", "cms_heavy_hitters",
                  "bloom_probe", "length_quantiles", "hits",
-                 "lpa_communities", "mmr_rerank"):
+                 "lpa_communities", "mmr_rerank", "closeness",
+                 "betweenness"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

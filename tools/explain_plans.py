@@ -536,6 +536,35 @@ def main() -> int:
         "eager localCheckpoint pinning lineage — the returned plan is "
         "one round deep regardless of rounds run.", trim(p)))
 
+    p = plan_of(q["closeness"](spark, sf_dir))
+    check("closeness: pure Catalyst over checkpointed BFS state",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "Scan ExistingRDD" in p,
+          "expected agg over localCheckpoint scans, no Python")
+    SECTIONS.append((
+        "closeness — per-source BFS aggregate",
+        "Forward pass is the bfs_from_each shape — state keyed "
+        "(source, node), one shuffle per depth, lineage cut per round — "
+        "so k sampled sources cost the same shuffles as one; the "
+        "closeness formula is one map-side-combinable agg over the "
+        "final checkpoint.", trim(p)))
+
+    p = plan_of(q["betweenness"](spark, sf_dir))
+    check("betweenness: pure Catalyst, exact micro-int accumulation",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "HashAggregate" in p,
+          "expected BIGINT sum agg over checkpointed delta levels")
+    SECTIONS.append((
+        "betweenness — Brandes forward + backward levels",
+        "Forward: per-source sigma path counts (exact BIGINTs), one "
+        "groupBy-sum shuffle per depth.  Backward: each dependency "
+        "level joins only the level above on (source, node) and sums "
+        "per-edge contributions as exact micro-unit BIGINTs — float-"
+        "order-independent, which is what lets DuckDB replay all 4+4 "
+        "unrolled levels hash-identically.  Sources are an explicit "
+        "sample (Brandes-Pich) — the 100 TB contract; exact all-sources "
+        "is O(n·m) on any engine.", trim(p)))
+
     p = plan_of(q["skew_stats"](spark, sf_dir))
     check("skew_stats: distributed top-k (no global sort)",
           "TakeOrderedAndProject" in p, "")
