@@ -374,6 +374,38 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+def q_intent_classify(spark, sf_dir):
+    """Q13 ROGRAG intent classification (rograg/intent_classifier.rs:
+    312-594) run as a batch over queries derived deterministically from
+    the documents table (templates by doc_id — factual / definitional /
+    relational / temporal / causal / comparative / summary / no-intent /
+    inappropriate), scoring + ambiguity + refusal + complexity replayed
+    exactly by the generated DuckDB oracle."""
+    from graphrag_rs_spark.rograg.intent import classify_intent
+    docs = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.try_element_at(t, F.lit(1)).alias("w1"),
+        F.try_element_at(t, F.lit(2)).alias("w2"),
+        F.size(t).alias("_n")).filter(F.col("_n") >= 2)
+    m8, w1, w2 = F.col("query_id") % 8, F.col("w1"), F.col("w2")
+    query = (
+        F.when(F.col("query_id") % 17 == 0,
+               F.concat(F.lit("is "), w1, F.lit(" illegal?")))
+        .when(m8 == 0, F.concat(F.lit("what is "), w1, F.lit("?")))
+        .when(m8 == 1, F.concat(F.lit("define "), w1))
+        .when(m8 == 2, F.concat(F.lit("relationship between "), w1,
+                                F.lit(" and "), w2))
+        .when(m8 == 3, F.concat(F.lit("when did "), w1, F.lit(" happen")))
+        .when(m8 == 4, F.concat(F.lit("why does "), w1,
+                                F.lit(" cause "), w2))
+        .when(m8 == 5, F.concat(F.lit("compare "), w1, F.lit(" with "), w2))
+        .when(m8 == 6, F.concat(F.lit("tell me about "), w1))
+        .otherwise(F.concat(w1, F.lit(" "), w2)))
+    return classify_intent(base.select("query_id", query.alias("query")))
+
+
 def q_tfidf_topk(spark, sf_dir):
     from graphrag_rs_spark.retrieval.tfidf import tfidf_topk
     return tfidf_topk(_docs(spark, sf_dir), "doc_id", "text", k=5)
@@ -1418,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "closeness": q_closeness,
         "betweenness": q_betweenness,
+        "intent_classify": q_intent_classify,
         "community_reports": q_community_reports,
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
@@ -2810,6 +2843,73 @@ def oracle_sql() -> dict[str, str]:
                      then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
                      else 0.0 end, 6) as clustering
         from deg left join tri on tri.center = deg.node
+    """
+
+    # intent_classify oracle: generated from the SAME pattern tables as
+    # the Spark operator (graphrag_rs_spark/rograg/intent.py — single
+    # source of truth); score unpivot → rank (score desc, intent asc) →
+    # ambiguity among rn 2-3 → refusal/complexity.
+    from graphrag_rs_spark.rograg.intent import INTENTS, intent_oracle_exprs
+    _isel, _icplx, _iinap = intent_oracle_exprs()
+    _iunion = " union all ".join(
+        f"select query_id, '{_n}' as intent, s_{_n} as score from scored"
+        for _n, _, _ in INTENTS)
+    sql["intent_classify"] = f"""
+        with tok as materialized (
+          select doc_id::BIGINT as query_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        base as materialized (
+          select query_id,
+                 case when query_id % 17 = 0 then 'is ' || w1 || ' illegal?'
+                      when query_id % 8 = 0 then 'what is ' || w1 || '?'
+                      when query_id % 8 = 1 then 'define ' || w1
+                      when query_id % 8 = 2 then 'relationship between '
+                                                 || w1 || ' and ' || w2
+                      when query_id % 8 = 3 then 'when did ' || w1
+                                                 || ' happen'
+                      when query_id % 8 = 4 then 'why does ' || w1
+                                                 || ' cause ' || w2
+                      when query_id % 8 = 5 then 'compare ' || w1
+                                                 || ' with ' || w2
+                      when query_id % 8 = 6 then 'tell me about ' || w1
+                      else w1 || ' ' || w2 end as q
+          from (select query_id, t[1] as w1, t[2] as w2 from tok
+                where len(t) >= 2)),
+        scored as materialized (select query_id, q, {_isel} from base),
+        longd as materialized ({_iunion}),
+        pos as materialized (
+          select query_id, intent, score,
+                 row_number() over (partition by query_id
+                     order by score desc, intent asc) as rn
+          from longd where score > 0),
+        p1 as materialized (
+          select query_id, intent, score from pos where rn = 1),
+        ambt as materialized (
+          select pos.query_id,
+                 max(case when pos.score > p1.score * 0.8
+                     then 1 else 0 end) as amb
+          from pos join p1 using (query_id)
+          where pos.rn in (2, 3) group by pos.query_id)
+        select b.query_id,
+               case when regexp_matches(q, '{_iinap}') then 'inappropriate'
+                    when p1.intent is null
+                         or coalesce(ambt.amb, 0) = 1 then 'ambiguous'
+                    else p1.intent end as intent,
+               case when regexp_matches(q, '{_iinap}') then 1.0
+                    when p1.score is null then 0.0
+                    else p1.score end as confidence,
+               case when regexp_matches(q, '{_iinap}')
+                         or p1.score is null then 1
+                    when p1.score < 0.8
+                         or coalesce(ambt.amb, 0) = 1 then 1
+                    else 0 end as should_refuse,
+               case when regexp_matches(q, '{_iinap}') then 0.0
+                    else {_icplx} end as complexity
+        from base b
+        left join p1 using (query_id)
+        left join ambt using (query_id)
     """
 
     # closeness/betweenness oracles: Brandes forward (BFS dist + exact

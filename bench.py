@@ -115,7 +115,7 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "link_prediction", "cms_heavy_hitters",
                  "bloom_probe", "length_quantiles", "hits",
                  "lpa_communities", "mmr_rerank", "closeness",
-                 "betweenness"):
+                 "betweenness", "intent_classify"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

@@ -565,6 +565,19 @@ def main() -> int:
         "sample (Brandes-Pich) — the 100 TB contract; exact all-sources "
         "is O(n·m) on any engine.", trim(p)))
 
+    p = plan_of(q["intent_classify"](spark, sf_dir))
+    check("intent_classify: single-pass JVM codegen, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "Exchange" not in p,
+          "expected one narrow projection stage over the parquet scan")
+    SECTIONS.append((
+        "intent_classify — batch query-intent classification",
+        "All 7 intent scores, the ranked argmax (sort_array over a "
+        "7-element struct array), ambiguity, refusal, and the "
+        "complexity blend are ONE narrow projection per row — zero "
+        "shuffles, zero Python; classifying a 100 TB query log is an "
+        "embarrassingly-parallel map.", trim(p)))
+
     p = plan_of(q["skew_stats"](spark, sf_dir))
     check("skew_stats: distributed top-k (no global sort)",
           "TakeOrderedAndProject" in p, "")
