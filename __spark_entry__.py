@@ -374,6 +374,28 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+def q_pos_tag(spark, sf_dir):
+    """nlp/syntax_analyzer.rs POS tagging + lemmatization over the whole
+    corpus: regexp tokenize → broadcast lexicon join → suffix-rule
+    when-chain, all JVM codegen (see nlp/syntax.py for rule fidelity)."""
+    from graphrag_rs_spark.nlp.syntax import pos_tag
+    return pos_tag(_docs(spark, sf_dir))
+
+
+def q_noun_phrases(spark, sf_dir):
+    """syntax_analyzer.rs:442-499 noun-phrase chunking as a
+    gaps-and-islands window over the tagged token stream."""
+    from graphrag_rs_spark.nlp.syntax import noun_phrases, pos_tag
+    return noun_phrases(pos_tag(_docs(spark, sf_dir)))
+
+
+def q_syntax_deps(spark, sf_dir):
+    """syntax_analyzer.rs:354-439 simplified dependency grammar
+    (subject/dobj/modifier/determiner) via per-document window minima."""
+    from graphrag_rs_spark.nlp.syntax import dependencies, pos_tag
+    return dependencies(pos_tag(_docs(spark, sf_dir)))
+
+
 def q_intent_classify(spark, sf_dir):
     """Q13 ROGRAG intent classification (rograg/intent_classifier.rs:
     312-594) run as a batch over queries derived deterministically from
@@ -1451,6 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "betweenness": q_betweenness,
         "intent_classify": q_intent_classify,
+        "pos_tag": q_pos_tag,
+        "noun_phrases": q_noun_phrases,
+        "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
@@ -2843,6 +2868,115 @@ def oracle_sql() -> dict[str, str]:
                      then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
                      else 0.0 end, 6) as clustering
         from deg left join tri on tri.center = deg.node
+    """
+
+    # pos_tag / noun_phrases / syntax_deps oracles: lexicon + regexes
+    # come from graphrag_rs_spark/nlp/syntax.py (single source of
+    # truth); unnest + generate_subscripts give the aligned token
+    # ordinals, the tag cascade and lemma rules are the same CASE chain.
+    from graphrag_rs_spark.nlp import syntax as _syn
+    _sq = lambda s: s.replace("'", "''")                  # noqa: E731
+    _lexvals = ", ".join(f"('{w}', '{t}')"
+                         for w, t in sorted(_syn.LEXICON.items()))
+    _syn_base = f"""
+        with lex(w, tag) as materialized (values {_lexvals}),
+        toks as materialized (
+          select doc_id::BIGINT as doc_id,
+                 (generate_subscripts(regexp_extract_all(text,
+                     '{_sq(_syn.WORD_RX)}'), 1) - 1)::INT as token_idx,
+                 unnest(regexp_extract_all(text,
+                     '{_sq(_syn.WORD_RX)}')) as token
+          from documents),
+        sel as materialized (
+          select t.doc_id, t.token_idx, t.token,
+                 lower(t.token) as lw, l.tag as ltag
+          from toks t left join lex l on l.w = lower(t.token)),
+        pos as materialized (
+          select doc_id, token_idx, token, lw,
+                 case when regexp_matches(token, '{_syn.PUNCT_RX}')
+                        then '.'
+                      when regexp_matches(token, '{_syn.NUM_RX}')
+                        then 'CD'
+                      when ltag is not null then ltag
+                      when regexp_matches(token, '{_syn.UPPER_RX}')
+                        then 'NNP'
+                      when lw like '%ing' then 'VBG'
+                      when lw like '%ed' then 'VBD'
+                      when lw like '%s' and lw not like '%ss' then 'NNS'
+                      when lw like '%ive' or lw like '%ous'
+                           or lw like '%ful' then 'JJ'
+                      when lw like '%ly' then 'RB'
+                      else 'NN' end as pos
+          from sel)"""
+    sql["pos_tag"] = _syn_base + """
+        select doc_id, token_idx, token, pos,
+               case when pos = 'NNS' then
+                      (case when lw like '%ies'
+                              then substr(lw, 1, length(lw) - 3) || 'y'
+                            when lw like '%s' and lw not like '%ss'
+                              then substr(lw, 1, length(lw) - 1)
+                            else lw end)
+                    when pos in ('VBD', 'VBZ') then
+                      (case when lw like '%ed'
+                              then substr(lw, 1, length(lw) - 2)
+                            when lw like '%s'
+                              then substr(lw, 1, length(lw) - 1)
+                            else lw end)
+                    when pos = 'VBG' then
+                      (case when lw like '%ing'
+                              then substr(lw, 1, length(lw) - 3)
+                            else lw end)
+                    else lw end as lemma
+        from pos
+    """
+    sql["noun_phrases"] = _syn_base + """,
+        np as materialized (
+          select * from pos
+          where pos in ('DT','JJ','NN','NNS','NNP','NNPS')),
+        runs as materialized (
+          select *, token_idx - row_number() over (
+              partition by doc_id order by token_idx) as seg
+          from np)
+        select doc_id, min(token_idx)::INT as start_idx,
+               count(*)::INT as n_tokens,
+               (coalesce(max(case when pos in ('NN','NNS','NNP','NNPS')
+                                  then token_idx end),
+                         min(token_idx)) - min(token_idx))::INT
+                 as head_idx,
+               string_agg(token, ' ' order by token_idx) as text
+        from runs group by doc_id, seg
+    """
+    sql["syntax_deps"] = _syn_base + """,
+        t2 as materialized (
+          select doc_id, token_idx, pos,
+                 min(case when pos in ('VB','VBD','VBZ')
+                     then token_idx end)
+                   over (partition by doc_id) as verb,
+                 min(case when pos in ('NN','NNP') then token_idx end)
+                   over (partition by doc_id order by token_idx
+                         rows between 1 following
+                         and unbounded following) as next_noun
+          from pos),
+        t3 as materialized (
+          select *, coalesce(verb, 0) as root from t2)
+        select doc_id, any_value(root)::INT as head_idx,
+               min(token_idx)::INT as dep_idx,
+               'subject' as relation
+        from t3 where token_idx < root and pos in ('NN','NNP','PRP')
+        group by doc_id
+        union all
+        select doc_id, any_value(root)::INT, min(token_idx)::INT, 'dobj'
+        from t3 where token_idx > root and pos in ('NN','NNP')
+        group by doc_id
+        union all
+        select doc_id, next_noun::INT, token_idx::INT, 'modifier'
+        from t3 where pos = 'JJ' and next_noun is not null
+        union all
+        select doc_id, verb::INT, token_idx::INT, 'modifier'
+        from t3 where pos = 'RB' and verb is not null
+        union all
+        select doc_id, next_noun::INT, token_idx::INT, 'determiner'
+        from t3 where pos = 'DT' and next_noun is not null
     """
 
     # intent_classify oracle: generated from the SAME pattern tables as

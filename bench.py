@@ -115,7 +115,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "link_prediction", "cms_heavy_hitters",
                  "bloom_probe", "length_quantiles", "hits",
                  "lpa_communities", "mmr_rerank", "closeness",
-                 "betweenness", "intent_classify"):
+                 "betweenness", "intent_classify", "pos_tag",
+                 "noun_phrases", "syntax_deps"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

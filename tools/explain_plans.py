@@ -578,6 +578,26 @@ def main() -> int:
         "shuffles, zero Python; classifying a 100 TB query log is an "
         "embarrassingly-parallel map.", trim(p)))
 
+    p = plan_of(q["pos_tag"](spark, sf_dir))
+    check("pos_tag: lexicon broadcast, no Python",
+          "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+          "expected broadcast lexicon join + codegen when-chain")
+    SECTIONS.append((
+        "pos_tag — corpus POS tagging",
+        "Tokenize (regexp_extract_all + posexplode) → ~170-word lexicon "
+        "BROADCAST join → suffix-rule when-chain, one narrow pass; "
+        "tagging a 100 TB corpus is a pure map stage.", trim(p)))
+
+    p = plan_of(q["syntax_deps"](spark, sf_dir))
+    check("syntax_deps: per-doc windows, no Python",
+          "Window" in p and "BatchEvalPython" not in p,
+          "expected window minima keyed by doc_id")
+    SECTIONS.append((
+        "syntax_deps — dependency extraction",
+        "Root/next-noun as per-document window minima (one shuffle on "
+        "doc_id shared by all four relation kinds), then unions of "
+        "narrow filters — no joins, no Python.", trim(p)))
+
     p = plan_of(q["skew_stats"](spark, sf_dir))
     check("skew_stats: distributed top-k (no global sort)",
           "TakeOrderedAndProject" in p, "")
