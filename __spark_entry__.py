@@ -374,6 +374,16 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+def q_detect_language(spark, sf_dir):
+    """nlp/multilingual.rs trigram-LM language detection over the
+    corpus: fixed 5-language trigram models broadcast-joined against
+    each doc's char trigrams, keyword boosts, script short-circuits,
+    the reference's always-1.0 confidence quirk — all exact-integer
+    arithmetic at query time (ln precomputed as micro-int literals)."""
+    from graphrag_rs_spark.nlp.multilingual import detect_language
+    return detect_language(_docs(spark, sf_dir))
+
+
 def q_pos_tag(spark, sf_dir):
     """nlp/syntax_analyzer.rs POS tagging + lemmatization over the whole
     corpus: regexp tokenize → broadcast lexicon join → suffix-rule
@@ -1474,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "intent_classify": q_intent_classify,
         "pos_tag": q_pos_tag,
+        "detect_language": q_detect_language,
         "noun_phrases": q_noun_phrases,
         "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
@@ -2868,6 +2879,97 @@ def oracle_sql() -> dict[str, str]:
                      then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
                      else 0.0 end, 6) as clustering
         from deg left join tri on tri.center = deg.node
+    """
+
+    # detect_language oracle: model/keyword tables are the SAME
+    # Python-precomputed micro-int literals the Spark operator uses —
+    # no ln() in either engine (Java Math.log vs C libm can differ by
+    # an ulp); script checks replayed range-for-range.
+    from graphrag_rs_spark.nlp.multilingual import (
+        ACCENT_DST, ACCENT_SRC, KEYWORD_BOOSTS, MODEL_DEFAULTS,
+        MODEL_ROWS, SCRIPTS)
+    _mvals = ", ".join(f"('{lg}', '{g.replace(chr(39), chr(39) * 2)}', {cu})"
+                       for lg, g, cu in MODEL_ROWS)
+    _dvals = ", ".join(f"('{lg}', {du})" for lg, du in MODEL_DEFAULTS)
+    _kvals = ", ".join(f"('{w}', '{lg}', {wt})"
+                       for w, lg, wt in KEYWORD_BOOSTS)
+    _script_lang = "case "
+    _script_conf = "case "
+    for _n, _cls, _share, _conf in SCRIPTS:
+        _cnt = f"length(regexp_replace(t, '[^{_cls}]', '', 'g'))"
+        _hit = (f"{_cnt} > 0" if _share == 0.0
+                else f"{_cnt}::DOUBLE / length(t) > {_share}")
+        _script_lang += f"when {_hit} then '{_n}' "
+        _script_conf += f"when {_hit} then {_conf} "
+    _script_lang += "end"
+    _script_conf += "end"
+    sql["detect_language"] = f"""
+        with model(lang, g, cu) as materialized (values {_mvals}),
+        defs(lang, du) as materialized (values {_dvals}),
+        kw(word, lang, weight) as materialized (values {_kvals}),
+        base as materialized (
+          select doc_id::BIGINT as doc_id, text as t,
+                 lower(text) as lt
+          from documents),
+        grams as materialized (
+          select doc_id,
+                 unnest(list_transform(range(1, length(lt) - 1),
+                        i -> substr(lt, i::INT, 3))) as g
+          from base where length(lt) >= 3),
+        scored as materialized (
+          select g.doc_id, d.lang,
+                 sum(coalesce(m.cu, d.du))::BIGINT as su,
+                 count(*) as cnt
+          from grams g cross join defs d
+          left join model m on m.lang = d.lang and m.g = g.g
+          group by g.doc_id, d.lang),
+        toks as materialized (
+          select doc_id,
+                 unnest(list_filter(string_split_regex(
+                     regexp_replace(translate(lt, '{ACCENT_SRC}',
+                                              '{ACCENT_DST}'),
+                                    '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'), x -> x <> '')) as word
+          from base),
+        boosts as materialized (
+          select tk.doc_id, k.lang, sum(k.weight) as boost
+          from toks tk join kw k on k.word = tk.word
+          group by tk.doc_id, k.lang),
+        fullt as materialized (
+          select b.doc_id, d.lang,
+                 round((case when coalesce(s.cnt, 0) > 0
+                        then s.su / 1000000.0 / s.cnt else 0.0 end)
+                       + coalesce(bo.boost, 0.0), 6) as score
+          from (select doc_id from base) b cross join defs d
+          left join scored s on s.doc_id = b.doc_id and s.lang = d.lang
+          left join boosts bo on bo.doc_id = b.doc_id
+                             and bo.lang = d.lang),
+        ranked as materialized (
+          select doc_id, lang, score,
+                 row_number() over (partition by doc_id
+                     order by score desc, lang asc) as rn,
+                 lead(lang) over (partition by doc_id
+                     order by score desc, lang asc) as runner_up,
+                 max(score) over (partition by doc_id)
+                 - min(score) over (partition by doc_id) as rng
+          from fullt),
+        tg as materialized (
+          select doc_id, lang as tg_language, score as tg_score,
+                 (case when rng > 0 then 1.0 else 0.5 end)::DOUBLE as tg_conf,
+                 runner_up
+          from ranked where rn = 1)
+        select b.doc_id,
+               case when trim(t) = '' then 'unknown'
+                    else coalesce({_script_lang}, tg.tg_language)
+               end as language,
+               (case when trim(t) = '' then 0.0
+                    else coalesce({_script_conf}, tg.tg_conf)
+               end)::DOUBLE as confidence,
+               case when trim(t) = '' or ({_script_lang}) is not null
+                    then 0.0 else tg.tg_score end as score,
+               case when trim(t) = '' or ({_script_lang}) is not null
+                    then null else tg.runner_up end as runner_up
+        from base b left join tg using (doc_id)
     """
 
     # pos_tag / noun_phrases / syntax_deps oracles: lexicon + regexes

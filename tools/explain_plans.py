@@ -598,6 +598,19 @@ def main() -> int:
         "doc_id shared by all four relation kinds), then unions of "
         "narrow filters — no joins, no Python.", trim(p)))
 
+    p = plan_of(q["detect_language"](spark, sf_dir))
+    check("detect_language: model broadcast to the trigram stream",
+          "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
+          "expected broadcast model join, no Python")
+    SECTIONS.append((
+        "detect_language — trigram-LM language ID",
+        "Per-doc char trigrams explode once, the ~600-row model + "
+        "defaults + keyword tables BROADCAST everywhere, scores are "
+        "exact micro-int sums (ln precomputed in Python — no libm "
+        "divergence), ranking is one doc_id window.  Per-doc cost is "
+        "O(len·5); the corpus dimension is embarrassingly parallel.",
+        trim(p)))
+
     p = plan_of(q["skew_stats"](spark, sf_dir))
     check("skew_stats: distributed top-k (no global sort)",
           "TakeOrderedAndProject" in p, "")
