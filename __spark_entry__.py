@@ -374,6 +374,36 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+def q_md_sections(spark, sf_dir):
+    """text/parsers/markdown.rs + document_structure.rs over markdown
+    synthesized deterministically from each document's leading words
+    (valid 1-3-level headings, an invalid '#bad' line, a 7-hash line,
+    and a doc_id%3 second root) — heading detect, section spans, stack
+    hierarchy, and depth replayed by the oracle (recursive CTE)."""
+    from graphrag_rs_spark.operators.doc_structure import \
+        markdown_structure
+    docs = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    ws = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.try_element_at(t, F.lit(i + 1)).alias(f"w{i + 1}")
+          for i in range(5)],
+        F.size(t).alias("_n")).filter(F.col("_n") >= 5)
+    nl = F.lit("\n")
+    w = [F.col(f"w{i + 1}") for i in range(5)]
+    md = F.concat(
+        F.lit("# "), w[0], nl, F.lit("intro about "), w[0], nl,
+        F.lit("#bad heading"), nl,
+        F.lit("## "), w[1], nl, w[2], F.lit(" body"), nl,
+        F.lit("####### deep"), nl,
+        F.lit("### "), w[2], nl, F.lit("body "), w[1], nl,
+        F.lit("## "), w[3], nl, F.lit("text "), w[4])
+    md = F.when(F.col("doc_id") % 3 == 0,
+                F.concat(md, nl, F.lit("# "), w[4], nl, F.lit("tail"))) \
+        .otherwise(md)
+    return markdown_structure(ws.select("doc_id", md.alias("text")))
+
+
 def q_detect_language(spark, sf_dir):
     """nlp/multilingual.rs trigram-LM language detection over the
     corpus: fixed 5-language trigram models broadcast-joined against
@@ -1485,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intent_classify": q_intent_classify,
         "pos_tag": q_pos_tag,
         "detect_language": q_detect_language,
+        "md_sections": q_md_sections,
         "noun_phrases": q_noun_phrases,
         "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
@@ -2879,6 +2910,103 @@ def oracle_sql() -> dict[str, str]:
                      then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
                      else 0.0 end, 6) as clustering
         from deg left join tri on tri.center = deg.node
+    """
+
+    # md_sections oracle: same line/offset accumulation, heading
+    # predicate, per-level running-max parent (the stack-free hierarchy
+    # — see operators/doc_structure.py), recursive-CTE depth.
+    _md_last = "".join(
+        f""",
+                 coalesce(max(case when level = {_l} then idx end)
+                     over (partition by doc_id order by idx
+                           rows between unbounded preceding
+                           and 1 preceding), -1) as last{_l}"""
+        for _l in range(1, 6))
+    _md_parent = "case "
+    for _l in range(2, 7):
+        _g = ("last1" if _l == 2 else
+              "greatest(" + ", ".join(f"last{_j}"
+                                      for _j in range(1, _l)) + ")")
+        _md_parent += f"when level = {_l} then {_g} "
+    _md_parent += "else -1 end"
+    sql["md_sections"] = f"""
+        with recursive tokd as materialized (
+          select doc_id::BIGINT as doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        ws as materialized (
+          select doc_id, t[1] as w1, t[2] as w2, t[3] as w3,
+                 t[4] as w4, t[5] as w5
+          from tokd where len(t) >= 5),
+        mddoc as materialized (
+          select doc_id,
+                 '# ' || w1 || chr(10) || 'intro about ' || w1 || chr(10)
+                 || '#bad heading' || chr(10)
+                 || '## ' || w2 || chr(10) || w3 || ' body' || chr(10)
+                 || '####### deep' || chr(10)
+                 || '### ' || w3 || chr(10) || 'body ' || w2 || chr(10)
+                 || '## ' || w4 || chr(10) || 'text ' || w5
+                 || case when doc_id % 3 = 0
+                    then chr(10) || '# ' || w5 || chr(10) || 'tail'
+                    else '' end as t
+          from ws),
+        mlines as materialized (
+          select doc_id, length(t) as doc_len,
+                 (generate_subscripts(string_split(t, chr(10)), 1)
+                  - 1)::INT as line_number,
+                 unnest(string_split(t, chr(10))) as line
+          from mddoc),
+        moff as materialized (
+          select *, coalesce(sum(length(line) + 1) over (
+                     partition by doc_id order by line_number
+                     rows between unbounded preceding and 1 preceding),
+                 0)::INT as heading_start
+          from mlines),
+        mcand as materialized (
+          select doc_id, doc_len, line_number, heading_start, line,
+                 trim(line) as tr,
+                 length(regexp_extract(trim(line), '^#+'))::INT as level
+          from moff),
+        mh0 as materialized (
+          select doc_id, doc_len, line_number, heading_start,
+                 (heading_start + length(line))::INT as heading_end,
+                 level, trim(substr(tr, level + 1)) as title
+          from mcand
+          where level between 1 and 6
+            and substr(tr, level + 1, 1) = ' '
+            and length(trim(substr(tr, level + 1))) > 0),
+        mh1 as materialized (
+          select *, (row_number() over (partition by doc_id
+                     order by line_number) - 1)::INT as idx,
+                 coalesce(lead(heading_start) over (partition by doc_id
+                     order by line_number), doc_len)::INT as content_end
+          from mh0),
+        mh2 as materialized (
+          select *{_md_last}
+          from mh1),
+        mh3 as materialized (
+          select doc_id, idx, level, title, line_number, heading_start,
+                 heading_end, heading_end as content_start, content_end,
+                 nullif({_md_parent}, -1)::INT as parent_idx
+          from mh2),
+        walk as (
+          select doc_id, idx, parent_idx as anc,
+                 case when parent_idx is null then 0 else 1 end as d
+          from mh3
+          union all
+          select w.doc_id, w.idx, h.parent_idx,
+                 w.d + case when h.parent_idx is null then 0 else 1 end
+          from walk w join mh3 h
+            on h.doc_id = w.doc_id and h.idx = w.anc
+          where w.anc is not null)
+        select m.doc_id, m.idx, m.level, m.title, m.line_number,
+               m.heading_start, m.heading_end, m.content_start,
+               m.content_end, m.parent_idx, dep.depth
+        from mh3 m
+        join (select doc_id, idx, max(d)::INT as depth
+              from walk group by doc_id, idx) dep
+          using (doc_id, idx)
     """
 
     # detect_language oracle: model/keyword tables are the SAME

@@ -116,7 +116,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "bloom_probe", "length_quantiles", "hits",
                  "lpa_communities", "mmr_rerank", "closeness",
                  "betweenness", "intent_classify", "pos_tag",
-                 "noun_phrases", "syntax_deps", "detect_language"):
+                 "noun_phrases", "syntax_deps", "detect_language",
+                 "md_sections"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

@@ -1,0 +1,60 @@
+"""Golden tests for markdown structure parsing (text/parsers/markdown.rs
++ text/document_structure.rs)."""
+
+from graphrag_rs_spark.operators.doc_structure import markdown_structure
+from tests.conftest import spark  # noqa: F401
+
+
+def _parse(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = markdown_structure(df).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.doc_id, {})[r.idx] = r
+    return out
+
+
+MD = "# Title\nintro\n## Sub\nbody\n### Deep\nmore\n## Sub2\nend"
+
+
+def test_headings_sections_offsets(spark):
+    h = _parse(spark, [MD])[0]
+    assert [h[i].title for i in range(4)] == ["Title", "Sub", "Deep",
+                                              "Sub2"]
+    assert [h[i].level for i in range(4)] == [1, 2, 3, 2]
+    assert (h[0].heading_start, h[0].heading_end) == (0, 7)
+    assert h[0].content_start == 7
+    assert h[0].content_end == 14          # next heading's start
+    assert h[1].heading_start == 14
+    assert h[3].content_end == len(MD)     # last section ends at EOF
+    assert [h[i].line_number for i in range(4)] == [0, 2, 4, 6]
+
+
+def test_hierarchy_stack_semantics(spark):
+    h = _parse(spark, [MD])[0]
+    assert [h[i].parent_idx for i in range(4)] == [None, 0, 1, 0]
+    assert [h[i].depth for i in range(4)] == [0, 1, 2, 1]
+
+
+def test_invalid_headings_skipped(spark):
+    h = _parse(spark, [
+        "#nospace\n####### seven\n#\n# \n#  padded\n  ## indented"])[0]
+    # only "#  padded" (title trims to "padded") and the
+    # whitespace-indented "## indented" (trim_start) are valid
+    assert {r.title for r in h.values()} == {"padded", "indented"}
+
+
+def test_pop_to_root_and_level_jump(spark):
+    h = _parse(spark, ["## A\n# B\n## C", "# A\n#### D\n## E"])
+    a = h[0]
+    assert (a[0].parent_idx, a[0].depth) == (None, 0)   # no lower level
+    assert (a[1].parent_idx, a[1].depth) == (None, 0)
+    assert (a[2].parent_idx, a[2].depth) == (1, 1)      # latest lower
+    b = h[1]
+    assert (b[1].parent_idx, b[1].depth) == (0, 1)      # # → ####
+    assert (b[2].parent_idx, b[2].depth) == (0, 1)      # pops the ####
+
+
+def test_no_headings_empty(spark):
+    assert _parse(spark, ["plain text\nno headings here"]) == {}
