@@ -374,6 +374,53 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+def q_logic_form(spark, sf_dir):
+    """Q13 ROGRAG logic-form retrieval (rograg/logic_form.rs): six-
+    pattern parse (first match wins, greedy trailing-'?' quirk) +
+    Is/Related/Compare execution against a KG derived from the NER
+    lexicon (padded-contains presence → entities; co-occurrence →
+    edges); queries templated from each doc's leading words."""
+    from graphrag_rs_spark.rograg.logic_form import logic_form_retrieve
+    docs = _docs(spark, sf_dir)
+    norm = F.expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    lex = spark.createDataFrame(_NER_LEXICON, ["phrase", "entity_type"])
+    presence = (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                            padded.alias("pt"))
+                .crossJoin(F.broadcast(lex))
+                .filter(F.col("pt").contains(
+                    F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))))
+                .select("doc_id", "phrase", "entity_type"))
+    entities = presence.select(F.col("phrase").alias("name"),
+                               "entity_type").distinct()
+    a, b = presence.alias("a"), presence.alias("b")
+    edges = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.phrase") < F.col("b.phrase")))
+             .groupBy(F.col("a.phrase").alias("src"),
+                      F.col("b.phrase").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .select("src", "dst", F.lit("related_to").alias("rel_type"),
+                     F.round(F.least(F.col("_n") / 10.0, F.lit(1.0)), 6)
+                     .alias("confidence")))
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    ws = docs.select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.try_element_at(t, F.lit(1)).alias("w1"),
+        F.try_element_at(t, F.lit(2)).alias("w2"),
+        F.size(t).alias("_n")).filter(F.col("_n") >= 2)
+    m5, w1, w2 = F.col("query_id") % 5, F.col("w1"), F.col("w2")
+    query = (F.when(m5 == 0, F.concat(F.lit("what is "), w1))
+             .when(m5 == 1, F.concat(F.lit("how is "), w1,
+                                     F.lit(" related to "), w2))
+             .when(m5 == 2, F.concat(F.lit("compare "), w1,
+                                     F.lit(" with "), w2))
+             .when(m5 == 3, F.concat(F.lit("when did "), w1,
+                                     F.lit(" happen")))
+             .otherwise(F.concat(F.lit("what is "), w1, F.lit("?"))))
+    qdf = ws.select("query_id", query.alias("query"))
+    return logic_form_retrieve(qdf, entities, edges)
+
+
 def q_md_sections(spark, sf_dir):
     """text/parsers/markdown.rs + document_structure.rs over markdown
     synthesized deterministically from each document's leading words
@@ -1516,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_tag": q_pos_tag,
         "detect_language": q_detect_language,
         "md_sections": q_md_sections,
+        "logic_form": q_logic_form,
         "noun_phrases": q_noun_phrases,
         "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
@@ -2910,6 +2958,115 @@ def oracle_sql() -> dict[str, str]:
                      then 2.0 * coalesce(t, 0) / (deg * (deg - 1))
                      else 0.0 end, 6) as clustering
         from deg left join tri on tri.center = deg.node
+    """
+
+    # logic_form oracle: parse chain generated from the SAME PATTERNS
+    # table as the Spark operator; KG derivation, resolution tie-break,
+    # and the three executors replayed relationally.
+    from graphrag_rs_spark.rograg.logic_form import PATTERNS as _LF_PATS
+    _lf_pred = "case "
+    _lf_x = "case "
+    _lf_y = "case "
+    for _p, _rx, _two in _LF_PATS:
+        _m = f"regexp_matches(q, '{_rx}')"
+        _lf_pred += f"when {_m} then '{_p}' "
+        _lf_x += f"when {_m} then trim(regexp_extract(q, '{_rx}', 1)) "
+        _lf_y += (f"when {_m} then trim(regexp_extract(q, '{_rx}', 2)) "
+                  if _two else f"when {_m} then null ")
+    _lf_pred += "end"
+    _lf_x += "end"
+    _lf_y += "end"
+    sql["logic_form"] = f"""
+        with lexf(phrase, entity_type) as materialized (
+          values {lex_vals}),
+        docs2 as materialized (
+          select doc_id::BIGINT as doc_id,
+                 ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                             ' ', 'g')) || ' ' as pt,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        presence as materialized (
+          select d.doc_id, l.phrase, l.entity_type
+          from docs2 d join lexf l
+            on contains(d.pt, ' ' || l.phrase || ' ')),
+        entities as materialized (
+          select distinct phrase as name, entity_type from presence),
+        edgesf as materialized (
+          select a.phrase as src, b.phrase as dst,
+                 'related_to' as rel_type,
+                 round(least(count(*) / 10.0, 1.0), 6) as confidence
+          from presence a join presence b
+            on a.doc_id = b.doc_id and a.phrase < b.phrase
+          group by a.phrase, b.phrase),
+        qs as materialized (
+          select doc_id as query_id,
+                 case doc_id % 5
+                   when 0 then 'what is ' || t[1]
+                   when 1 then 'how is ' || t[1] || ' related to ' || t[2]
+                   when 2 then 'compare ' || t[1] || ' with ' || t[2]
+                   when 3 then 'when did ' || t[1] || ' happen'
+                   else 'what is ' || t[1] || '?' end as q
+          from docs2 where len(t) >= 2),
+        parsed as materialized (
+          select query_id, {_lf_pred} as predicate,
+                 {_lf_x} as x, {_lf_y} as y
+          from qs),
+        parsedf as materialized (
+          select * from parsed
+          where predicate is not null and x <> ''),
+        twof as materialized (
+          select * from parsedf
+          where predicate in ('related', 'compare')
+            and y is not null and y <> ''),
+        rxr as materialized (
+          select query_id, name as x_name, entity_type as x_type from (
+            select p.query_id, e.name, e.entity_type,
+                   row_number() over (partition by p.query_id
+                       order by (lower(e.name) = lower(p.x)) desc,
+                                e.name asc) as rn
+            from twof p join entities e
+              on contains(lower(e.name), lower(p.x))
+                 or contains(lower(p.x), lower(e.name)))
+          where rn = 1),
+        ryr as materialized (
+          select query_id, name as y_name, entity_type as y_type from (
+            select p.query_id, e.name, e.entity_type,
+                   row_number() over (partition by p.query_id
+                       order by (lower(e.name) = lower(p.y)) desc,
+                                e.name asc) as rn
+            from twof p join entities e
+              on contains(lower(e.name), lower(p.y))
+                 or contains(lower(p.y), lower(e.name)))
+          where rn = 1),
+        both2 as materialized (
+          select p.query_id, p.predicate, rxr.x_name, rxr.x_type,
+                 ryr.y_name, ryr.y_type
+          from twof p join rxr using (query_id) join ryr using (query_id))
+        select p.query_id, p.predicate, 'X' as variable,
+               e.name || ' (' || e.entity_type || ')' as value,
+               (case when lower(e.name) = lower(p.x) then 1.0
+                else 0.8 end)::DOUBLE as confidence
+        from parsedf p join entities e
+          on contains(lower(e.name), lower(p.x))
+        where p.predicate = 'is'
+        union all
+        select b.query_id, b.predicate, 'R',
+               case when e.rel_type is not null
+                    then b.x_name || ' ' || e.rel_type || ' ' || b.y_name
+                    else 'No direct relationship found between '
+                         || b.x_name || ' and ' || b.y_name end,
+               coalesce(e.confidence, 0.3)::DOUBLE
+        from both2 b left join edgesf e
+          on (e.src = b.x_name and e.dst = b.y_name)
+             or (e.src = b.y_name and e.dst = b.x_name)
+        where b.predicate = 'related'
+        union all
+        select query_id, predicate, 'comparison',
+               x_name || ' is a ' || x_type || ' while ' || y_name
+               || ' is a ' || y_type,
+               0.7::DOUBLE
+        from both2 where predicate = 'compare'
     """
 
     # md_sections oracle: same line/offset accumulation, heading
