@@ -374,6 +374,34 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+def q_html_sections(spark, sf_dir):
+    """text/parsers/html.rs over HTML synthesized from each doc's
+    leading words — exercises the level-order-per-line quirk (an <h3>
+    textually before an <h2> emits after it), nested-tag stripping,
+    case-insensitive tags, and unclosed-tag skipping."""
+    from graphrag_rs_spark.operators.doc_structure import html_structure
+    docs = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    ws = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.try_element_at(t, F.lit(i + 1)).alias(f"w{i + 1}")
+          for i in range(5)],
+        F.size(t).alias("_n")).filter(F.col("_n") >= 5)
+    nl = F.lit("\n")
+    w = [F.col(f"w{i + 1}") for i in range(5)]
+    html = F.concat(
+        F.lit("<h1>"), w[0], F.lit("</h1>"), nl,
+        F.lit("para about "), w[0], nl,
+        F.lit('<div><h2 class="x">'), w[1], F.lit(" <b>"), w[2],
+        F.lit("</b></h2></div>"), nl,
+        F.lit("<h3>"), w[2], F.lit("</h3><h2>"), w[3], F.lit("</h2>"), nl,
+        F.lit("<h4>unclosed"), nl)
+    html = F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(html, F.lit("<h1>"), w[4], F.lit("</h1>"))) \
+        .otherwise(F.concat(html, F.lit("tail "), w[4]))
+    return html_structure(ws.select("doc_id", html.alias("text")))
+
+
 def q_logic_form(spark, sf_dir):
     """Q13 ROGRAG logic-form retrieval (rograg/logic_form.rs): six-
     pattern parse (first match wins, greedy trailing-'?' quirk) +
@@ -1564,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_language": q_detect_language,
         "md_sections": q_md_sections,
         "logic_form": q_logic_form,
+        "html_sections": q_html_sections,
         "noun_phrases": q_noun_phrases,
         "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
@@ -3139,6 +3168,107 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(lead(heading_start) over (partition by doc_id
                      order by line_number), doc_len)::INT as content_end
           from mh0),
+        mh2 as materialized (
+          select *{_md_last}
+          from mh1),
+        mh3 as materialized (
+          select doc_id, idx, level, title, line_number, heading_start,
+                 heading_end, heading_end as content_start, content_end,
+                 nullif({_md_parent}, -1)::INT as parent_idx
+          from mh2),
+        walk as (
+          select doc_id, idx, parent_idx as anc,
+                 case when parent_idx is null then 0 else 1 end as d
+          from mh3
+          union all
+          select w.doc_id, w.idx, h.parent_idx,
+                 w.d + case when h.parent_idx is null then 0 else 1 end
+          from walk w join mh3 h
+            on h.doc_id = w.doc_id and h.idx = w.anc
+          where w.anc is not null)
+        select m.doc_id, m.idx, m.level, m.title, m.line_number,
+               m.heading_start, m.heading_end, m.content_start,
+               m.content_end, m.parent_idx, dep.depth
+        from mh3 m
+        join (select doc_id, idx, max(d)::INT as depth
+              from walk group by doc_id, idx) dep
+          using (doc_id, idx)
+    """
+
+    # html_sections oracle: per-line level scan (strpos on the
+    # lowercased line, reference find order), nested-tag strip, then
+    # the same generated hierarchy tail as md_sections keyed by the
+    # push order _ord = line*10 + level.
+    sql["html_sections"] = f"""
+        with recursive tokd as materialized (
+          select doc_id::BIGINT as doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        ws as materialized (
+          select doc_id, t[1] as w1, t[2] as w2, t[3] as w3,
+                 t[4] as w4, t[5] as w5
+          from tokd where len(t) >= 5),
+        hdoc as materialized (
+          select doc_id,
+                 '<h1>' || w1 || '</h1>' || chr(10)
+                 || 'para about ' || w1 || chr(10)
+                 || '<div><h2 class="x">' || w2 || ' <b>' || w3
+                 || '</b></h2></div>' || chr(10)
+                 || '<h3>' || w3 || '</h3><h2>' || w4 || '</h2>'
+                 || chr(10) || '<h4>unclosed' || chr(10)
+                 || case when doc_id % 3 = 0
+                    then '<h1>' || w5 || '</h1>'
+                    else 'tail ' || w5 end as t
+          from ws),
+        hlines as materialized (
+          select doc_id, length(t) as doc_len,
+                 (generate_subscripts(string_split(t, chr(10)), 1)
+                  - 1)::INT as line_number,
+                 unnest(string_split(t, chr(10))) as line
+          from hdoc),
+        hoff as materialized (
+          select *, coalesce(sum(length(line) + 1) over (
+                     partition by doc_id order by line_number
+                     rows between unbounded preceding and 1 preceding),
+                 0)::INT as line_start
+          from hlines),
+        hcand as materialized (
+          select doc_id, doc_len, line_number, line, line_start,
+                 unnest([1, 2, 3, 4, 5, 6]) as level
+          from hoff),
+        hpos as materialized (
+          select *, strpos(lower(line), '<h' || level::VARCHAR) as s,
+                 strpos(lower(line),
+                        '</h' || level::VARCHAR || '>') as e
+          from hcand),
+        hgt as materialized (
+          select *, case when s > 0 then
+                 s + strpos(substr(lower(line), s), '>') - 1
+                 else 0 end as g
+          from hpos),
+        hok as materialized (
+          select * from hgt
+          where s > 0 and e > 0 and g > s and e >= g),
+        mh0 as materialized (
+          select doc_id, doc_len, line_number,
+                 (line_start + s - 1)::INT as heading_start,
+                 (line_start + e - 1 + 4
+                  + length(level::VARCHAR))::INT as heading_end,
+                 level::INT as level,
+                 trim(replace(regexp_replace(regexp_replace(
+                     substr(line, g + 1, e - g - 1),
+                     '<[^>]*>', '', 'g'), '<.*$', ''), '>', '')) as title,
+                 (line_number * 10 + level)::INT as _ord
+          from hok),
+        mh1 as materialized (
+          select * from (
+            select *, (row_number() over (partition by doc_id
+                       order by _ord) - 1)::INT as idx,
+                   coalesce(lead(heading_start) over (partition by
+                       doc_id order by _ord), doc_len)::INT
+                     as content_end
+            from mh0 where length(title) > 0)),
         mh2 as materialized (
           select *{_md_last}
           from mh1),

@@ -58,8 +58,16 @@ def markdown_structure(docs: DataFrame, id_col: str = "doc_id",
                                     F.lit(1)) == " ")
                      & (F.length("title") > 0))
              .withColumn("heading_end", (F.col("heading_start")
-                                         + F.length("line")).cast("int")))
-    widx = Window.partitionBy("doc_id").orderBy("line_number")
+                                         + F.length("line")).cast("int"))
+             .withColumn("_ord", F.col("line_number")))
+    return _finish(heads)
+
+
+def _finish(heads: DataFrame) -> DataFrame:
+    """Shared section-span / hierarchy / depth tail: `heads` carries
+    (doc_id, _ord, level, title, line_number, heading_start,
+    heading_end, _doc_len); `_ord` is the reference's push order."""
+    widx = Window.partitionBy("doc_id").orderBy("_ord")
     heads = (heads
              .withColumn("idx", (F.row_number().over(widx) - 1)
                          .cast("int"))
@@ -100,3 +108,65 @@ def markdown_structure(docs: DataFrame, id_col: str = "doc_id",
                        .alias("depth")))
     return heads.join(cur.select("doc_id", "idx", "depth"),
                       ["doc_id", "idx"])
+
+
+def html_structure(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """HTML heading structure (text/parsers/html.rs:38-80) — same output
+    shape as markdown_structure.
+
+    Reference quirks preserved: per line, levels are scanned 1→6 and at
+    most ONE heading per level per line is taken (the FIRST <hN>…</hN>
+    pair by lowercased find), so two headings on one line are emitted in
+    LEVEL order, not text order; the heading text strips nested tags,
+    drops an unclosed trailing '<…' run and bare '>' chars
+    (extract_text_content :21-36); tag matching is case-insensitive but
+    the title text keeps original case.  A line whose close tag precedes
+    its open tag would panic the reference — here it is skipped
+    (documented divergence, the only sane batch semantics)."""
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_t"))
+    lines = base.select(
+        "doc_id", F.length("_t").alias("_doc_len"),
+        F.posexplode(F.split("_t", "\n")).alias("line_number", "line"))
+    wdoc = Window.partitionBy("doc_id").orderBy("line_number")
+    lines = lines.withColumn(
+        "line_start",
+        F.coalesce(F.sum(F.length("line") + 1).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+        .cast("int"))
+    cand = lines.withColumn(
+        "level", F.explode(F.array(*[F.lit(i) for i in
+                                     range(1, MAX_LEVEL + 1)])))
+    start1 = F.expr(
+        "instr(lower(line), '<h' || cast(level as string))")
+    end1 = F.expr("instr(lower(line), '</h' || cast(level as string)"
+                  " || '>')")
+    # first '>' at/after the open tag (1-based within line)
+    gt1 = start1 + F.expr(
+        "instr(substring(lower(line), "
+        "instr(lower(line), '<h' || cast(level as string))), '>')") - 1
+    tag_content = F.substring(
+        F.col("line"), gt1 + 1, end1 - gt1 - 1)
+    text = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        tag_content, "<[^>]*>", ""), "<.*$", ""), ">", ""))
+    heads = (cand
+             .withColumn("_s", start1).withColumn("_e", end1)
+             .withColumn("_g", gt1)
+             .filter((F.col("_s") > 0) & (F.col("_e") > 0)
+                     & (F.col("_g") > F.col("_s"))
+                     & (F.col("_e") >= F.col("_g")))
+             .withColumn("title", text)
+             .filter(F.length("title") > 0)
+             .withColumn("heading_start",
+                         (F.col("line_start") + F.col("_s") - 1)
+                         .cast("int"))
+             .withColumn("heading_end",
+                         (F.col("line_start") + F.col("_e") - 1 + 4
+                          + F.length(F.col("level").cast("string")))
+                         .cast("int"))
+             .withColumn("_ord", F.col("line_number") * 10
+                         + F.col("level"))
+             .select("doc_id", "_doc_len", "_ord", "level", "title",
+                     "line_number", "heading_start", "heading_end"))
+    return _finish(heads)

@@ -58,3 +58,41 @@ def test_pop_to_root_and_level_jump(spark):
 
 def test_no_headings_empty(spark):
     assert _parse(spark, ["plain text\nno headings here"]) == {}
+
+
+HTML = ('<h1>Top</h1>\n'
+        'para text\n'
+        '<div><h2 class="x">Mid <b>bold</b></h2></div>\n'
+        '<h3>Three</h3><h2>Two</h2>\n'
+        '<h4>unclosed\n'
+        '<h5></h5>\n'
+        '<H1>CAPS</H1>')
+
+
+def test_html_headings_and_quirks(spark):
+    from graphrag_rs_spark.operators.doc_structure import html_structure
+    df = spark.createDataFrame([(0, HTML)], "doc_id long, text string")
+    h = {r.idx: r for r in html_structure(df).collect()}
+    # line 3 has <h3> before <h2> but the reference scans levels 1→6,
+    # so the h2 is pushed first; unclosed h4 and empty h5 are skipped;
+    # uppercase <H1> matches case-insensitively, title keeps case
+    assert [(h[i].title, h[i].level) for i in range(5)] == [
+        ("Top", 1), ("Mid bold", 2), ("Two", 2), ("Three", 3),
+        ("CAPS", 1)]
+    assert h[0].heading_start == 0
+    assert h[0].heading_end == len("<h1>Top</h1>")
+    assert [h[i].parent_idx for i in range(5)] == [None, 0, 0, 2, None]
+    assert [h[i].depth for i in range(5)] == [0, 1, 1, 2, 0]
+
+
+def test_html_offsets_and_sections(spark):
+    from graphrag_rs_spark.operators.doc_structure import html_structure
+    df = spark.createDataFrame([(0, HTML)], "doc_id long, text string")
+    h = {r.idx: r for r in html_structure(df).collect()}
+    line3_start = len("<h1>Top</h1>\npara text\n"
+                      '<div><h2 class="x">Mid <b>bold</b></h2></div>\n')
+    assert h[2].heading_start == line3_start + len("<h3>Three</h3>")
+    assert h[3].heading_start == line3_start
+    # content spans follow PUSH order: h2(idx2) → next is h3(idx3)
+    assert h[2].content_end == h[3].heading_start
+    assert h[4].content_end == len(HTML)
