@@ -374,6 +374,37 @@ def q_bfs_reach(spark, sf_dir):
     return out.select("node", F.col("level").cast("int").alias("level"))
 
 
+_IDS_WORDS = ("filter(split(trim(regexp_replace(lower(text), "
+              "'[^a-z0-9]+', ' ')), ' '), x -> length(x) > 3)")
+
+
+def q_iter_deepening(spark, sf_dir):
+    """LightRAG iterative-deepening retrieval (lightrag/
+    iterative_deepening.rs) in its deterministic batch form (see
+    retrieval/deepening.py): concept graph from len>3 word
+    co-occurrence (≥50 shared docs, Jaccard confidence), one query per
+    doc seeded with its first two len>3 words, 2 depths, per-concept
+    top-2 expansion, max_chunks/quality/no-more-concepts stops — every
+    depth unrolled in the oracle."""
+    from graphrag_rs_spark.retrieval.deepening import (
+        build_concept_graph, iterative_deepening)
+    docs = _docs(spark, sf_dir)
+    words = F.expr(_IDS_WORDS)
+    cc = docs.select(F.col("doc_id").cast("long").alias("chunk_id"),
+                     F.explode(words).alias("concept"))
+    concepts, relations = build_concept_graph(cc, min_cooccurrence=50)
+    seeds = docs.select(F.col("doc_id").cast("long").alias("query_id"),
+                        F.explode(F.slice(words, 1, 2)).alias("concept"))
+    out = iterative_deepening(seeds, cc, concepts, relations,
+                              max_depth=2, concepts_per_depth=2,
+                              max_chunks=450, min_chunks=10,
+                              quality_threshold=220.0)
+    return out.select("query_id",
+                      F.col("chunk_id").cast("long").alias("chunk_id"),
+                      "depth_found", "depth_reached", "stop_reason",
+                      "total_chunks", "total_concepts")
+
+
 def q_html_sections(spark, sf_dir):
     """text/parsers/html.rs over HTML synthesized from each doc's
     leading words — exercises the level-order-per-line quirk (an <h3>
@@ -1593,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_sections": q_md_sections,
         "logic_form": q_logic_form,
         "html_sections": q_html_sections,
+        "iter_deepening": q_iter_deepening,
         "noun_phrases": q_noun_phrases,
         "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
@@ -3193,6 +3225,148 @@ def oracle_sql() -> dict[str, str]:
         join (select doc_id, idx, max(d)::INT as depth
               from walk group by doc_id, idx) dep
           using (doc_id, idx)
+    """
+
+    # iter_deepening oracle: both depths unrolled; the expansion block
+    # (per-concept top-k related → fresh candidates → micro-int
+    # connectivity scores → per-query top-k → starvation stop) is
+    # generated once per depth by _ids_expand.
+    def _ids_expand(i: int, cur: str, act: str) -> str:
+        return f""",
+        rl{i} as materialized (
+          select c.query_id, c.concept, u.nb,
+                 row_number() over (partition by c.query_id, c.concept
+                     order by u.confidence desc, u.nb asc) as rk
+          from {cur} c join und u on u.src = c.concept
+          where c.query_id in (select query_id from {act})),
+        fr{i} as materialized (
+          select query_id, nb as cand, count(*) as n_contrib
+          from rl{i} where rk <= 2 group by query_id, nb),
+        frx{i} as materialized (
+          select f.* from fr{i} f
+          where not exists (select 1 from {cur} c
+                            where c.query_id = f.query_id
+                              and c.concept = f.cand)),
+        cn{i} as materialized (
+          select c.query_id, u.nb as cand, count(*) as connections
+          from {cur} c join und u on u.src = c.concept
+          group by c.query_id, u.nb),
+        sc{i} as materialized (
+          select f.query_id, f.cand,
+                 round((ln(conc.freq) + 1.0)
+                       * (1.0 + coalesce(cn.connections, 0) * 0.5)
+                       * 1000000.0)::BIGINT * f.n_contrib as u
+          from frx{i} f
+          join conc on conc.concept = f.cand
+          left join cn{i} cn on cn.query_id = f.query_id
+                            and cn.cand = f.cand),
+        pk{i} as materialized (
+          select query_id, cand as concept from (
+            select *, row_number() over (partition by query_id
+                order by u desc, cand asc) as rk
+            from sc{i} where u > 0)
+          where rk <= 2),
+        sv{i} as materialized (
+          select a.query_id, 'no_more_concepts' as stop_reason,
+                 {i} as depth_reached
+          from {act} a
+          where not exists (select 1 from pk{i} p
+                            where p.query_id = a.query_id))"""
+
+    sql["iter_deepening"] = f"""
+        with dd as materialized (
+          select doc_id::BIGINT as chunk_id,
+                 list_filter(string_split({_NT}, ' '),
+                             x -> length(x) > 3) as ws
+          from documents),
+        cc as materialized (
+          select distinct chunk_id, unnest(ws) as concept from dd),
+        conc as materialized (
+          select concept, count(*)::BIGINT as freq from cc
+          group by concept),
+        relp as materialized (
+          select a.concept as a, b.concept as b, count(*) as shared
+          from cc a join cc b
+            on a.chunk_id = b.chunk_id and a.concept < b.concept
+          group by a.concept, b.concept having count(*) >= 50),
+        rel as materialized (
+          select relp.a, relp.b,
+                 round(relp.shared / (fa.freq + fb.freq - relp.shared),
+                       6) as confidence
+          from relp join conc fa on fa.concept = relp.a
+                    join conc fb on fb.concept = relp.b),
+        und as materialized (
+          select a as src, b as nb, confidence from rel
+          union all
+          select b as src, a as nb, confidence from rel),
+        cur0 as materialized (
+          select distinct chunk_id as query_id, unnest(ws[1:2]) as concept
+          from dd),
+        v0 as materialized (
+          select distinct s.query_id, cc.chunk_id, 0 as depth_found
+          from cur0 s join cc on cc.concept = s.concept),
+        stop0 as materialized (
+          select query_id, 'max_chunks' as stop_reason, 0 as depth_reached
+          from (select query_id, count(*) as tc from v0 group by query_id)
+          where tc >= 450),
+        act0 as materialized (
+          select distinct query_id from cur0
+          where query_id not in (select query_id from stop0))
+        {_ids_expand(0, "cur0", "act0")},
+        cur1 as materialized (
+          select query_id, concept from cur0
+          union all select query_id, concept from pk0),
+        v1n as materialized (
+          select distinct p.query_id, cc.chunk_id, 1 as depth_found
+          from pk0 p join cc on cc.concept = p.concept
+          where not exists (select 1 from v0 v
+                            where v.query_id = p.query_id
+                              and v.chunk_id = cc.chunk_id)),
+        vis as materialized (
+          select * from v0 union all select * from v1n),
+        stopped_a as materialized (
+          select query_id from stop0
+          union all select query_id from sv0),
+        stop1 as materialized (
+          select query_id, stop_reason, 1 as depth_reached from (
+            select s.query_id,
+                   case when s.tc >= 450 then 'max_chunks'
+                        when s.tc >= 10
+                             and round(s.tc / t.tk, 6) >= 220.0
+                          then 'quality' end as stop_reason
+            from (select query_id, count(*) as tc from vis
+                  where query_id not in (select query_id from stopped_a)
+                  group by query_id) s
+            join (select query_id, count(*) as tk from cur1
+                  group by query_id) t using (query_id))
+          where stop_reason is not null),
+        act1 as materialized (
+          select distinct query_id from cur1
+          where query_id not in (select query_id from stopped_a
+                                 union all
+                                 select query_id from stop1))
+        {_ids_expand(1, "cur1", "act1")},
+        cur2 as materialized (
+          select query_id, concept from cur1
+          union all select query_id, concept from pk1),
+        stopped_all as materialized (
+          select * from stop0 union all select * from sv0
+          union all select * from stop1 union all select * from sv1),
+        summary as materialized (
+          select v.query_id,
+                 coalesce(st.stop_reason, 'max_depth') as stop_reason,
+                 coalesce(st.depth_reached, 2)::INT as depth_reached,
+                 count(*)::BIGINT as total_chunks,
+                 any_value(k.tk)::BIGINT as total_concepts
+          from vis v
+          join (select query_id, count(*) as tk from cur2
+                group by query_id) k using (query_id)
+          left join stopped_all st using (query_id)
+          group by v.query_id, st.stop_reason, st.depth_reached)
+        select v.query_id, v.chunk_id, v.depth_found::INT as depth_found,
+               s.depth_reached, s.stop_reason, s.total_chunks,
+               s.total_concepts
+        from vis v join summary s using (query_id)
     """
 
     # html_sections oracle: per-line level scan (strpos on the

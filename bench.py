@@ -117,7 +117,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "lpa_communities", "mmr_rerank", "closeness",
                  "betweenness", "intent_classify", "pos_tag",
                  "noun_phrases", "syntax_deps", "detect_language",
-                 "md_sections", "logic_form", "html_sections"):
+                 "md_sections", "logic_form", "html_sections",
+                 "iter_deepening"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

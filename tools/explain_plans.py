@@ -611,6 +611,18 @@ def main() -> int:
         "O(len·5); the corpus dimension is embarrassingly parallel.",
         trim(p)))
 
+    p = plan_of(q["iter_deepening"](spark, sf_dir))
+    check("iter_deepening: returned frame reads checkpointed state",
+          "Scan ExistingRDD" in p and "BatchEvalPython" not in p,
+          "expected joins over per-depth localCheckpoints, no Python")
+    SECTIONS.append((
+        "iter_deepening — LightRAG iterative-deepening retrieval",
+        "Per depth: frontier⋈concept-chunks (anti-join dedup), stop "
+        "checks as one agg, expansion as two ranked windows — all "
+        "keyed by query_id, lineage cut per depth.  State is "
+        "(query, concept) + (query, chunk) frames; millions of queries "
+        "deepen in the same 2·max_depth shuffles.", trim(p)))
+
     p = plan_of(q["skew_stats"](spark, sf_dir))
     check("skew_stats: distributed top-k (no global sort)",
           "TakeOrderedAndProject" in p, "")
