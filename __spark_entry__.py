@@ -378,6 +378,51 @@ _IDS_WORDS = ("filter(split(trim(regexp_replace(lower(text), "
               "'[^a-z0-9]+', ' ')), ' '), x -> length(x) > 3)")
 
 
+def q_meta_search(spark, sf_dir):
+    """Enriched metadata-aware retrieval (retrieval/enriched.rs:64-141)
+    — 24 templated queries broadcast against enrich_chunks metadata
+    (docs doc_id%5==0 get a 'chapter N. ' prefix so the structure boost
+    fires), deterministic base scores for a slice of pairs."""
+    from graphrag_rs_spark.retrieval.enriched import \
+        enriched_metadata_search
+    from graphrag_rs_spark.stages.enrich import enrich_chunks
+    docs = _docs(spark, sf_dir)
+    content = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("chapter "),
+                 (F.col("doc_id") % 9 + 1).cast("string"),
+                 F.lit(". "), F.col("text"))).otherwise(F.col("text"))
+    chunks = enrich_chunks(
+        docs.select(F.col("doc_id").cast("long").alias("chunk_id"),
+                    content.alias("content")), top_k=3) \
+        .select("chunk_id", "keywords", "summary", "chapter")
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    ws = docs.select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.try_element_at(t, F.lit(1)).alias("w1"),
+        F.try_element_at(t, F.lit(2)).alias("w2"),
+        F.size(t).alias("_n")) \
+        .filter((F.col("_n") >= 2) & (F.col("query_id") < 24))
+    m4, w1, w2 = F.col("query_id") % 4, F.col("w1"), F.col("w2")
+    query = (F.when(m4 == 0, F.concat(F.lit("find "), w1,
+                                      F.lit(" information")))
+             .when(m4 == 1, F.concat(
+                 F.lit("chapter "),
+                 (F.col("query_id") % 9 + 1).cast("string"),
+                 F.lit(" about "), w1))
+             .when(m4 == 2, F.concat(F.lit("section 3 "), w1,
+                                     F.lit(" notes")))
+             .otherwise(F.concat(w1, F.lit(" "), w2,
+                                 F.lit(" overview"))))
+    qdf = ws.select("query_id", query.alias("query"))
+    base = (qdf.crossJoin(chunks.select("chunk_id"))
+            .filter(F.col("chunk_id") % 11 == F.col("query_id") % 11)
+            .select("query_id", "chunk_id",
+                    F.round((F.col("chunk_id") % 10) / 10.0, 6)
+                    .alias("score")))
+    return enriched_metadata_search(qdf, chunks, base)
+
+
 def q_iter_deepening(spark, sf_dir):
     """LightRAG iterative-deepening retrieval (lightrag/
     iterative_deepening.rs) in its deterministic batch form (see
@@ -1625,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logic_form": q_logic_form,
         "html_sections": q_html_sections,
         "iter_deepening": q_iter_deepening,
+        "meta_search": q_meta_search,
         "noun_phrases": q_noun_phrases,
         "syntax_deps": q_syntax_deps,
         "community_reports": q_community_reports,
@@ -2187,6 +2233,119 @@ def oracle_sql() -> dict[str, str]:
                         '^\\s*(.*?[.!?])(?:\\s|$)', 1)
                     else substr(d.text, 1, 200) end as summary
         from documents d left join kw using (doc_id)
+    """
+
+    # meta_search oracle: enrich metadata re-derived with the proven
+    # sql["enrich"] expressions (keywords kept as a LIST, top 3 with
+    # the same stopword table), then the full boost formula from
+    # retrieval/enriched.py — keyword fraction, structure refs
+    # (field-contains-ref), half-the-query-words summary gate, two-
+    # stage 6-dp rounding.  The completeness bonus needs ≥7/9 populated
+    # fields and this metadata carries 3 — identically zero in both
+    # engines, so it is omitted here.
+    _ms_chapter_re = r"(?i)^\s*(chapter\s+[\divxlc]+|section\s+\d+(?:\.\d+)*)"
+    sql["meta_search"] = f"""
+        with dmod as materialized (
+          select doc_id::BIGINT as chunk_id,
+                 case when doc_id % 5 = 0
+                      then 'chapter ' || (doc_id % 9 + 1)::VARCHAR
+                           || '. ' || text
+                      else text end as content
+          from documents),
+        toks as materialized (
+          select chunk_id,
+                 unnest(list_filter(list_filter(string_split(
+                     trim(regexp_replace(lower(content), '[^a-z0-9]+',
+                          ' ', 'g')), ' '), x -> x <> ''),
+                     x -> length(x) > 2)) as tok
+          from dmod),
+        filt as materialized (
+          select chunk_id, tok from toks
+          where not list_contains({enrich_stop}, tok)),
+        tf as materialized (
+          select chunk_id, tok, count(*) as tf from filt
+          group by chunk_id, tok),
+        rk as materialized (
+          select chunk_id, tok, row_number() over (partition by chunk_id
+              order by tf desc, tok asc) as rn
+          from tf),
+        kw as materialized (
+          select chunk_id, list(tok order by rn) as keywords
+          from rk where rn <= 3 group by chunk_id),
+        chunksm as materialized (
+          select d.chunk_id,
+                 coalesce(kw.keywords, []) as keywords,
+                 case when regexp_extract(d.content,
+                          '^\\s*(.*?[.!?])(?:\\s|$)', 1) <> ''
+                      then regexp_extract(d.content,
+                          '^\\s*(.*?[.!?])(?:\\s|$)', 1)
+                      else substr(d.content, 1, 200) end as summary,
+                 regexp_extract(d.content, '{_ms_chapter_re}', 1)
+                   as chapter
+          from dmod d left join kw using (chunk_id)),
+        qws as materialized (
+          select doc_id::BIGINT as query_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents where doc_id < 24),
+        qs as materialized (
+          select query_id,
+                 case query_id % 4
+                   when 0 then 'find ' || t[1] || ' information'
+                   when 1 then 'chapter ' || (query_id % 9 + 1)::VARCHAR
+                               || ' about ' || t[1]
+                   when 2 then 'section 3 ' || t[1] || ' notes'
+                   else t[1] || ' ' || t[2] || ' overview' end as q
+          from qws where len(t) >= 2),
+        qfeat as materialized (
+          select query_id,
+                 list_distinct(list_filter(string_split(lower(q), ' '),
+                     x -> length(x) > 3)) as qw,
+                 list_filter([
+                     regexp_extract(lower(q),
+                         'chapter\\s+(\\d+|[ivxlcdm]+|\\w+)', 0),
+                     regexp_extract(lower(q),
+                         'section\\s+(\\d+\\.?\\d*)', 0),
+                     regexp_extract(lower(q),
+                         'part\\s+(\\d+|[ivxlcdm]+)', 0)],
+                     x -> x <> '') as refs
+          from qs),
+        baser as materialized (
+          select q.query_id, c.chunk_id,
+                 round((c.chunk_id % 10) / 10.0, 6) as score
+          from qfeat q cross join chunksm c
+          where c.chunk_id % 11 = q.query_id % 11),
+        pairs as materialized (
+          select q.query_id, c.chunk_id,
+                 greatest(len(q.qw), 1) as qwn, q.qw, q.refs,
+                 c.keywords, c.summary, c.chapter
+          from qfeat q cross join chunksm c
+          where len(c.keywords) > 0),
+        boosted as materialized (
+          select query_id, chunk_id,
+                 round(
+                   (case when len(list_filter(keywords,
+                         k -> list_contains(qw, lower(k)))) >= 1
+                    then len(list_filter(keywords,
+                         k -> list_contains(qw, lower(k))))
+                         / qwn * 0.3
+                    else 0.0 end)
+                   + coalesce(list_sum(list_transform(refs,
+                       r -> case when chapter is not null
+                                 and contains(lower(chapter), r)
+                            then 0.5 else 0.0 end)), 0.0) * 0.2
+                   + (case when len(list_filter(qw,
+                         w -> contains(lower(coalesce(summary, '')), w)))
+                         >= greatest(len(qw) // 2, 1)
+                      then 0.15 else 0.0 end), 6) as boost
+          from pairs)
+        select b.query_id, b.chunk_id,
+               round(least(coalesce(br.score, 0.5) + b.boost, 1.0), 6)
+                 as score
+        from boosted b
+        left join baser br
+          on br.query_id = b.query_id and br.chunk_id = b.chunk_id
+        where b.boost > 0.05
     """
 
     lex_vals = ", ".join(f"('{p}', '{t}')" for p, t in _NER_LEXICON)
