@@ -1361,6 +1361,79 @@ def q_rograg_fuzzy(spark, sf_dir):
                       "match_type")
 
 
+def _validator_responses(spark, sf_dir):
+    """Deterministic response corpus for the ROGRAG validator: content
+    templates per doc_id % 7 exercise every check branch (too-short,
+    contradictions, connectors, safety term, long/normal, off-query,
+    single-sentence); sources/confidence/subquery-count derived from
+    doc_id so the DuckDB oracle replays them exactly."""
+    d = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = d.select(F.col("doc_id"), t.alias("t")).filter(F.size("t") >= 40)
+
+    def j(a, n):
+        return F.array_join(F.slice(F.col("t"), a, n), " ")
+
+    def w(i):
+        return F.try_element_at(F.col("t"), F.lit(i))
+
+    m7 = F.col("doc_id") % 7
+    content = (
+        F.when(m7 == 0, F.substring(w(1), 1, 4))
+        .when(m7 == 1, F.concat(F.lit("it is not "), w(2),
+                                F.lit(". never always "), w(3), F.lit(".")))
+        .when(m7 == 2, F.concat(j(1, 8), F.lit(". however "), j(9, 8),
+                                F.lit(". therefore "), j(17, 8), F.lit(".")))
+        .when(m7 == 3, F.concat(j(1, 12), F.lit(" violence. "), j(13, 8),
+                                F.lit(".")))
+        .when(m7 == 4, F.concat(j(1, 40), F.lit(".")))
+        .when(m7 == 5, j(21, 20))
+        .otherwise(j(1, 20)))
+    return base.select(
+        F.col("doc_id").alias("response_id"),
+        F.concat(F.lit("what is "), w(1), F.lit(" "), w(2),
+                 F.lit("?")).alias("query"),
+        content.alias("content"),
+        ((F.col("doc_id") % 100) / 100.0).alias("confidence"),
+        F.transform(
+            F.slice(F.col("t"), F.lit(1), (F.col("doc_id") % 6).cast("int")),
+            lambda x: F.concat(F.lit("src_"), x)).alias("sources"),
+        (F.col("doc_id") % 3).cast("int").alias("n_subqueries"))
+
+
+def q_rograg_validate(spark, sf_dir):
+    """Q13 ROGRAG response validation (rograg/validator.rs:369-523)
+    batched over responses synthesized from the documents table: the
+    six QualityMetrics scores + failed-check issue count per response,
+    all pure Catalyst (narrow map, no shuffle)."""
+    from graphrag_rs_spark.rograg.validator import validate_responses
+    return validate_responses(_validator_responses(spark, sf_dir))
+
+
+def q_rograg_query_valid(spark, sf_dir):
+    """Q13 ROGRAG query validation (rograg/validator.rs:295-366):
+    empty / over-long / safety-pattern / no-alphabetic checks over
+    queries synthesized per doc_id % 5 to hit every branch."""
+    from graphrag_rs_spark.rograg.validator import validate_queries
+    d = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = d.select(
+        F.col("doc_id"),
+        F.try_element_at(t, F.lit(1)).alias("w1"),
+        F.size(t).alias("_n")).filter(F.col("_n") >= 2)
+    m5, w1 = F.col("doc_id") % 5, F.col("w1")
+    query = (
+        F.when(m5 == 0, F.lit(""))
+        .when(m5 == 1, F.repeat(F.concat(w1, F.lit(" ")), 600))
+        .when(m5 == 2, F.concat(F.lit("is "), w1,
+                                F.lit(" violence related?")))
+        .when(m5 == 3, F.lit("123 456!"))
+        .otherwise(F.concat(F.lit("what is "), w1, F.lit("?"))))
+    return validate_queries(
+        base.select(F.col("doc_id").alias("query_id"),
+                    query.alias("query")))
+
+
 def q_quantize_emb(spark, sf_dir):
     """Int8 scalar quantization, flattened to (vec_id, pos, qval, scale)
     for value-level comparison (positions 1-based)."""
@@ -1699,6 +1772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sage_embeddings": q_sage_embeddings,
         "node2vec": q_node2vec,
         "rograg_fuzzy": q_rograg_fuzzy,
+        "rograg_validate": q_rograg_validate,
+        "rograg_query_valid": q_rograg_query_valid,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -4934,5 +5009,115 @@ def oracle_sql() -> dict[str, str]:
           cross join (select weight as bias from w{_qc_iters}
                       where bucket = -1) b) s
     """)
+
+    # rograg_validate / rograg_query_valid oracles: generated from the
+    # SAME constants as the Spark operator (rograg/validator.py —
+    # single source of truth).  All float arithmetic is forced ::DOUBLE
+    # (DuckDB decimal-literal gotcha); scores are plain int-ratio
+    # chains so both engines produce bit-identical doubles.
+    from graphrag_rs_spark.rograg.validator import validator_oracle_exprs
+    _vx = validator_oracle_exprs()
+    sql["rograg_validate"] = f"""
+        with tok as materialized (
+          select doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        base as materialized (
+          select doc_id as response_id,
+            case when doc_id % 7 = 0 then substr(t[1], 1, 4)
+                 when doc_id % 7 = 1 then 'it is not ' || t[2]
+                      || '. never always ' || t[3] || '.'
+                 when doc_id % 7 = 2 then array_to_string(t[1:8], ' ')
+                      || '. however ' || array_to_string(t[9:16], ' ')
+                      || '. therefore ' || array_to_string(t[17:24], ' ')
+                      || '.'
+                 when doc_id % 7 = 3 then array_to_string(t[1:12], ' ')
+                      || ' violence. ' || array_to_string(t[13:20], ' ')
+                      || '.'
+                 when doc_id % 7 = 4 then array_to_string(t[1:40], ' ')
+                      || '.'
+                 when doc_id % 7 = 5 then array_to_string(t[21:40], ' ')
+                 else array_to_string(t[1:20], ' ') end as c,
+            'what is ' || t[1] || ' ' || t[2] || '?' as qraw,
+            (doc_id % 100)::DOUBLE / 100.0::DOUBLE as conf,
+            list_transform(t[1:(doc_id % 6)], x -> 'src_' || x) as srcs,
+            (doc_id % 3)::INT as nsubq
+          from tok where len(t) >= 40),
+        pre as materialized (
+          select *, lower(c) as cl, lower(qraw) as q from base),
+        arrs as materialized (
+          select *, {_vx['sents']} as sents, {_vx['qw']} as qw,
+                 {_vx['aw']} as aw
+          from pre),
+        m as materialized (
+          select response_id, c, cl, q, conf, srcs, nsubq, sents, aw,
+            {_vx['coherence']} as coherence,
+            {_vx['relevance']} as relevance,
+            {_vx['consistency']} as consistency,
+            {_vx['completeness']} as completeness,
+            {_vx['readability']} as readability,
+            {_vx['credibility']} as credibility,
+            {_vx['cov_rel']} as cov_rel
+          from arrs),
+        iss as materialized (
+          select *,
+            ((case when length(c) < 10 then 1 else 0 end)
+           + (case when length(c) > 4096 then 1 else 0 end)
+           + (case when conf < 0.3::DOUBLE then 1 else 0 end)
+           + (case when len(srcs) = 0 then 1 else 0 end)
+           + (case when cov_rel < 0.3::DOUBLE then 1 else 0 end)
+           + (case when len(sents) > 1 and coherence < 0.3::DOUBLE
+              then 1 else 0 end)
+           + (case when relevance < 0.2::DOUBLE then 1 else 0 end)
+           + (case when consistency < 0.5::DOUBLE then 1 else 0 end)
+           + (case when {_vx['safety_cl']} then 1 else 0 end)) as n_issues
+          from m)
+        select response_id,
+          round(coherence, 6) as coherence,
+          round(relevance, 6) as relevance,
+          round(consistency, 6) as consistency,
+          round(completeness, 6) as completeness,
+          round(readability, 6) as readability,
+          round(credibility, 6) as credibility,
+          n_issues::INT as n_issues,
+          (case when n_issues = 0 then 1 else 0 end)::INT as passed
+        from iss
+    """
+    sql["rograg_query_valid"] = f"""
+        with tok as materialized (
+          select doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        base as materialized (
+          select doc_id as query_id,
+            case when doc_id % 5 = 0 then ''
+                 when doc_id % 5 = 1 then repeat(t[1] || ' ', 600)
+                 when doc_id % 5 = 2 then 'is ' || t[1]
+                      || ' violence related?'
+                 when doc_id % 5 = 3 then '123 456!'
+                 else 'what is ' || t[1] || '?' end as qraw
+          from tok where len(t) >= 2),
+        basel as materialized (
+          select query_id, qraw, lower(qraw) as q from base),
+        iss as materialized (
+          select query_id, qraw,
+            ((case when trim(qraw) = '' then 1 else 0 end)
+           + (case when trim(qraw) <> '' and length(qraw) > 1000
+              then 1 else 0 end)
+           + (case when {_vx['safety_q']} then 1 else 0 end)
+           + (case when not regexp_matches(qraw, '[A-Za-z]')
+              then 1 else 0 end)) as n_issues
+          from basel)
+        select query_id,
+          (case when trim(qraw) = '' then 0 else 1 end)::INT as is_valid,
+          n_issues::INT as n_issues,
+          round(case when trim(qraw) = '' then 0.0::DOUBLE
+                else 1.0::DOUBLE - least(n_issues::DOUBLE * 0.1::DOUBLE,
+                                         0.8::DOUBLE) end, 6)
+            as validation_score
+        from iss
+    """
 
     return sql

@@ -118,7 +118,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "betweenness", "intent_classify", "pos_tag",
                  "noun_phrases", "syntax_deps", "detect_language",
                  "md_sections", "logic_form", "html_sections",
-                 "iter_deepening", "meta_search"):
+                 "iter_deepening", "meta_search", "rograg_validate",
+                 "rograg_query_valid"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

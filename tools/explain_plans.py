@@ -578,6 +578,21 @@ def main() -> int:
         "shuffles, zero Python; classifying a 100 TB query log is an "
         "embarrassingly-parallel map.", trim(p)))
 
+    p = plan_of(q["rograg_validate"](spark, sf_dir))
+    check("rograg_validate: single-pass JVM codegen, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "Exchange" not in p,
+          "expected one narrow projection stage over the parquet scan")
+    SECTIONS.append((
+        "rograg_validate — batch RAG-response validation",
+        "All six validator.rs QualityMetrics (coherence, relevance, "
+        "consistency, completeness, readability, credibility) plus the "
+        "failed-check issue count are ONE narrow projection per "
+        "response — sentence splits, word-set Jaccards and safety "
+        "regexes all stay in whole-stage codegen; gating a billion RAG "
+        "answers is an embarrassingly-parallel map with the scan "
+        "pruned to (doc_id, text).", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
