@@ -1434,6 +1434,46 @@ def q_rograg_query_valid(spark, sf_dir):
                     query.alias("query")))
 
 
+def q_query_rewrite(spark, sf_dir):
+    """Query intelligence (query/intelligence.rs:92-118) batched:
+    type detection, template rewrite, ordered synonym expansion with
+    first-occurrence dedup, stop-word key terms, and confidence blended
+    with EWMA relevance feedback folded from a deterministic event
+    stream (term = first doc word, score = doc_id%128/128 — exact
+    powers of two, so the cross-engine fold is order-independent)."""
+    from graphrag_rs_spark.retrieval.intelligence import rewrite_queries
+    d = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = d.select(
+        F.col("doc_id").alias("query_id"),
+        F.try_element_at(t, F.lit(1)).alias("w1"),
+        F.try_element_at(t, F.lit(2)).alias("w2"),
+        F.size(t).alias("_n")).filter(F.col("_n") >= 2)
+    m9, w1, w2 = F.col("query_id") % 9, F.col("w1"), F.col("w2")
+    query = (
+        F.when(m9 == 0, F.concat(F.lit("who is "), w1))
+        .when(m9 == 1, F.concat(F.lit("what is the relationship between "),
+                                w1, F.lit(" and "), w2))
+        .when(m9 == 2, F.concat(F.lit("how many "), w1,
+                                F.lit(" are there")))
+        .when(m9 == 3, F.concat(F.lit("compare "), w1, F.lit(" versus "),
+                                w2))
+        .when(m9 == 4, F.concat(F.lit("when did "), w1, F.lit(" happen")))
+        .when(m9 == 5, F.concat(F.lit("why does "), w1, F.lit(" cause "),
+                                w2))
+        .when(m9 == 6, F.concat(F.lit("find large "), w1))
+        .when(m9 == 7, F.concat(F.lit("show important "), w1,
+                                F.lit(" person")))
+        .otherwise(F.concat(w1, F.lit(" "), w2)))
+    feedback = d.select(
+        F.try_element_at(t, F.lit(1)).alias("term"),
+        F.col("doc_id").alias("event_id"),
+        ((F.col("doc_id") % 128).cast("double") / 128.0).alias("score")
+    ).filter(F.col("term").isNotNull())
+    return rewrite_queries(
+        base.select("query_id", query.alias("query")), feedback=feedback)
+
+
 def q_quantize_emb(spark, sf_dir):
     """Int8 scalar quantization, flattened to (vec_id, pos, qval, scale)
     for value-level comparison (positions 1-based)."""
@@ -1774,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rograg_fuzzy": q_rograg_fuzzy,
         "rograg_validate": q_rograg_validate,
         "rograg_query_valid": q_rograg_query_valid,
+        "query_rewrite": q_query_rewrite,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -5118,6 +5159,113 @@ def oracle_sql() -> dict[str, str]:
                                          0.8::DOUBLE) end, 6)
             as validation_score
         from iss
+    """
+
+    # query_rewrite oracle: generated from the SAME constants
+    # (retrieval/intelligence.py).  The per-row synonym fold is
+    # replayed by its closed form — candidates in (word_pos, syn_pos)
+    # order, words always kept, synonyms kept iff first occurrence
+    # (row_number over term = 1); the EWMA feedback fold is the exact
+    # power-of-two closed form over the last-20 window.
+    from graphrag_rs_spark.retrieval.intelligence import (
+        intelligence_oracle_exprs,
+    )
+    _ix = intelligence_oracle_exprs()
+    sql["query_rewrite"] = f"""
+        with tok as materialized (
+          select doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        qbase as materialized (
+          select doc_id as query_id,
+            case when doc_id % 9 = 0 then 'who is ' || t[1]
+                 when doc_id % 9 = 1 then
+                   'what is the relationship between ' || t[1]
+                   || ' and ' || t[2]
+                 when doc_id % 9 = 2 then 'how many ' || t[1]
+                   || ' are there'
+                 when doc_id % 9 = 3 then 'compare ' || t[1]
+                   || ' versus ' || t[2]
+                 when doc_id % 9 = 4 then 'when did ' || t[1] || ' happen'
+                 when doc_id % 9 = 5 then 'why does ' || t[1]
+                   || ' cause ' || t[2]
+                 when doc_id % 9 = 6 then 'find large ' || t[1]
+                 when doc_id % 9 = 7 then 'show important ' || t[1]
+                   || ' person'
+                 else t[1] || ' ' || t[2] end as rawq
+          from tok where len(t) >= 2),
+        norm as materialized (
+          select query_id, trim(lower(rawq)) as q from qbase),
+        typed as materialized (
+          select query_id, q, {_ix['qtype']} as qt from norm),
+        tmpl as materialized (
+          select query_id, q, qt, {_ix['template']} as tq from typed),
+        words as materialized (
+          select query_id, u.t as w, u.i as pos
+          from (select query_id,
+                       unnest(list_transform(
+                         list_filter(string_split(tq, ' '), x -> x <> ''),
+                         (x, i) -> {{'t': x, 'i': i}})) as u
+                from tmpl)),
+        syn as materialized (
+          select * from (values {_ix['syn_rows']}) as s(word, sub, term)),
+        cand as materialized (
+          select query_id, pos, 0 as sub, w as term, 1 as is_word
+          from words
+          union all
+          select w.query_id, w.pos, s.sub, s.term, 0
+          from words w join syn s on s.word = w.w),
+        kept as materialized (
+          select query_id, pos, sub, term, is_word,
+                 row_number() over (partition by query_id, term
+                                    order by pos, sub) as rn
+          from cand),
+        expd as materialized (
+          select query_id, list(term order by pos, sub) as expl
+          from kept where is_word = 1 or rn = 1
+          group by query_id),
+        trms as materialized (
+          select query_id, expl,
+                 list_filter(expl,
+                             x -> not list_contains({_ix['stop']}, x))
+                   as trm
+          from expd),
+        fb as materialized (
+          select t[1] as term, doc_id as event_id,
+                 (doc_id % 128)::DOUBLE / 128.0::DOUBLE as s
+          from tok where len(t) >= 1),
+        fbr as materialized (
+          select term, s,
+                 row_number() over (partition by term
+                                    order by event_id desc) as rd
+          from fb),
+        fold as materialized (
+          select term,
+                 sum(s / (1::BIGINT << rd))
+                 + 1.0::DOUBLE / (1::BIGINT << (count(*)::INT + 1))
+                   as relevance
+          from fbr where rd <= {_ix['window']} group by term),
+        relq as materialized (
+          select u.query_id,
+                 avg(coalesce(f.relevance, 0.5::DOUBLE)) as rel
+          from (select query_id, unnest(trm) as term from trms) u
+          left join fold f using (term)
+          group by u.query_id)
+        select ty.query_id, ty.qt as query_type,
+          array_to_string(tr.expl, ' ') as rewritten,
+          array_to_string(tr.trm, ' ') as terms,
+          len(tr.trm)::INT as n_terms,
+          round(case when len(tr.trm) = 0 then 0.5::DOUBLE
+                else least(len(tr.trm)::DOUBLE
+                           / (len(list_filter(string_split(ty.q, ' '),
+                                              x -> x <> '')) + 1),
+                           1.0::DOUBLE) * 0.6::DOUBLE
+                     + coalesce(r.rel, 0.5::DOUBLE) * 0.4::DOUBLE end, 6)
+            as confidence
+        from typed ty
+        join trms tr using (query_id)
+        left join relq r using (query_id)
     """
 
     return sql

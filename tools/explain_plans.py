@@ -593,6 +593,21 @@ def main() -> int:
         "answers is an embarrassingly-parallel map with the scan "
         "pruned to (doc_id, text).", trim(p)))
 
+    p = plan_of(q["query_rewrite"](spark, sf_dir))
+    check("query_rewrite: synonym fold is in-row codegen, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p,
+          "expected pure Catalyst aggregate() fold + feedback joins")
+    SECTIONS.append((
+        "query_rewrite — batch query rewriting + synonym expansion",
+        "Type detection, template rewrite and the ORDER-DEPENDENT "
+        "synonym dedup fold all happen inside one row (F.aggregate "
+        "over the word array — no explode, no shuffle); only the "
+        "relevance-feedback blend shuffles: a bounded last-20-events "
+        "window per term (state capped by construction) and a "
+        "term-level join whose weights are exact powers of two, so "
+        "the averaged feedback is reproducible on any engine and any "
+        "partitioning.", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
