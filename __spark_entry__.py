@@ -1474,6 +1474,99 @@ def q_query_rewrite(spark, sf_dir):
         base.select("query_id", query.alias("query")), feedback=feedback)
 
 
+def _pipeline_tables(spark, sf_dir):
+    """Deterministic pipeline-output tables for the phase validators:
+    3 chunks per doc (one deliberately empty every 11th doc), 8
+    entities per doc with planted invalid confidence / empty type /
+    empty name rows, mentions with planted dangling chunk refs, and 4
+    relationships per doc with planted orphans and bad confidences —
+    every count the DuckDB oracle replays exactly.  Confidences are
+    k/64 multiples so averaged sums are exact cross-engine."""
+    d = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = d.select(F.col("doc_id"), F.col("text"), t.alias("t")) \
+        .filter(F.size("t") >= 30)
+
+    def j(a, n):
+        return F.array_join(F.slice(F.col("t"), a, n), " ")
+
+    did = F.col("doc_id")
+    ch = base.select(
+        did.alias("doc_id"),
+        F.explode(F.array(
+            F.struct((did * 3).alias("chunk_id"), j(1, 10).alias("content")),
+            F.struct((did * 3 + 1).alias("chunk_id"),
+                     j(11, 10).alias("content")),
+            F.struct((did * 3 + 2).alias("chunk_id"),
+                     F.when(did % 11 == 0, "").otherwise(j(21, 10))
+                     .alias("content")))).alias("c")) \
+        .select(
+            "doc_id", F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.content").alias("content"),
+            F.when(F.col("c.chunk_id") % 2 == 0, "ch").alias("chapter"),
+            F.array().cast("array<string>").alias("keywords"),
+            F.when(F.col("c.chunk_id") % 5 == 0, "sum").alias("summary"))
+    ents = base.select(did.alias("doc_id"),
+                       F.posexplode(F.slice(F.col("t"), 1, 8))
+                       .alias("i0", "w")) \
+        .select(
+            "doc_id", (F.col("i0") + 1).alias("i"),
+            F.col("w").alias("entity_id"),
+            F.when((F.col("doc_id") % 13 == 0) & (F.col("i0") == 0), "")
+            .otherwise(F.col("w")).alias("name"),
+            F.when((F.col("doc_id") % 17 == 0) & (F.col("i0") == 1), "")
+            .otherwise("concept").alias("entity_type"),
+            F.when((F.col("doc_id") % 19 == 0) & (F.col("i0") == 2),
+                   96.0 / 64.0)
+            .otherwise(((F.col("doc_id") * 7 + F.col("i0") + 1) % 65)
+                       .cast("double") / 64.0).alias("confidence"))
+    men = ents.select(
+        "entity_id",
+        F.when((F.col("doc_id") % 23 == 0) & (F.col("i") == 4), F.lit(-1))
+        .otherwise(F.col("doc_id") * 3 + F.col("i") % 3).alias("chunk_id")
+    ).unionAll(ents.filter(F.col("i") == 1).select(
+        "entity_id", (F.col("doc_id") * 3 + 1).alias("chunk_id")))
+    rels = base.select(did.alias("doc_id"), F.col("t"),
+                       F.posexplode(F.slice(F.col("t"), 1, 4))
+                       .alias("i0", "w")) \
+        .select(
+            "doc_id", F.col("w").alias("source"),
+            F.when((F.col("doc_id") % 31 == 0) & (F.col("i0") == 0),
+                   "zzz_missing")
+            .otherwise(F.try_element_at(F.col("t"), F.col("i0") + 2))
+            .alias("target"),
+            F.when((F.col("doc_id") % 29 == 0) & (F.col("i0") == 1), "")
+            .otherwise("related").alias("relation_type"),
+            F.when((F.col("doc_id") % 37 == 0) & (F.col("i0") == 2),
+                   -1.0 / 64.0)
+            .otherwise(((F.col("doc_id") * 11 + F.col("i0") + 1) % 65)
+                       .cast("double") / 64.0).alias("confidence"))
+    return base, ch, ents, men, rels
+
+
+def q_doc_validation(spark, sf_dir):
+    """Pipeline document-processing validation
+    (evaluation/pipeline_validation.rs:45-152) as a per-document
+    groupBy: coverage / empty-chunk / metadata checks replayed for
+    every doc in one aggregation pass."""
+    from graphrag_rs_spark.stages.validate import (
+        validate_document_processing,
+    )
+    base, ch, _, _, _ = _pipeline_tables(spark, sf_dir)
+    return validate_document_processing(base, ch)
+
+
+def q_kg_validation(spark, sf_dir):
+    """Pipeline entity / relationship / graph phase validation + the
+    overall report (pipeline_validation.rs:160-533): global-aggregate
+    check and metric records over the synthesized pipeline tables."""
+    from graphrag_rs_spark.stages.validate import (
+        pipeline_validation_report,
+    )
+    base, ch, ents, men, rels = _pipeline_tables(spark, sf_dir)
+    return pipeline_validation_report(base, ch, ents, men, rels)
+
+
 def q_quantize_emb(spark, sf_dir):
     """Int8 scalar quantization, flattened to (vec_id, pos, qval, scale)
     for value-level comparison (positions 1-based)."""
@@ -1815,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rograg_validate": q_rograg_validate,
         "rograg_query_valid": q_rograg_query_valid,
         "query_rewrite": q_query_rewrite,
+        "doc_validation": q_doc_validation,
+        "kg_validation": q_kg_validation,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -5266,6 +5361,212 @@ def oracle_sql() -> dict[str, str]:
         from typed ty
         join trms tr using (query_id)
         left join relq r using (query_id)
+    """
+
+    # doc_validation / kg_validation oracles: the synthesized pipeline
+    # tables (3 chunks + 8 entities + mentions + 4 relationships per
+    # doc with planted defects) rebuilt in SQL, then every
+    # pipeline_validation.rs check/metric replayed as plain aggregates.
+    _pv_tables = """
+        with tok as materialized (
+          select doc_id, text,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        base as materialized (
+          select * from tok where len(t) >= 30),
+        chunks0 as materialized (
+          select doc_id, doc_id * 3 + s.k as chunk_id,
+            case s.k
+              when 0 then array_to_string(t[1:10], ' ')
+              when 1 then array_to_string(t[11:20], ' ')
+              else (case when doc_id % 11 = 0 then ''
+                    else array_to_string(t[21:30], ' ') end) end as content
+          from base, (values (0), (1), (2)) s(k)),
+        chunks as materialized (
+          select doc_id, chunk_id, content,
+            case when chunk_id % 2 = 0 then 'ch' end as chapter,
+            case when chunk_id % 5 = 0 then 'sum' end as summary
+          from chunks0),
+        ents as materialized (
+          select doc_id, u.i as i, u.w as entity_id,
+            case when doc_id % 13 = 0 and u.i = 1 then ''
+                 else u.w end as name,
+            case when doc_id % 17 = 0 and u.i = 2 then ''
+                 else 'concept' end as entity_type,
+            case when doc_id % 19 = 0 and u.i = 3
+                 then 96.0::DOUBLE / 64.0::DOUBLE
+                 else ((doc_id * 7 + u.i) % 65)::DOUBLE / 64.0::DOUBLE
+                 end as confidence
+          from (select doc_id,
+                       unnest(list_transform(t[1:8],
+                              (x, i) -> {'w': x, 'i': i})) as u
+                from base)),
+        men as materialized (
+          select entity_id,
+            case when doc_id % 23 = 0 and i = 4 then -1
+                 else doc_id * 3 + (i % 3) end as chunk_id
+          from ents
+          union all
+          select entity_id, doc_id * 3 + 1 as chunk_id
+          from ents where i = 1),
+        rels as materialized (
+          select doc_id, u.w as source,
+            case when doc_id % 31 = 0 and u.i = 1 then 'zzz_missing'
+                 else t[u.i + 1] end as target,
+            case when doc_id % 29 = 0 and u.i = 2 then ''
+                 else 'related' end as relation_type,
+            case when doc_id % 37 = 0 and u.i = 3
+                 then -1.0::DOUBLE / 64.0::DOUBLE
+                 else ((doc_id * 11 + u.i) % 65)::DOUBLE / 64.0::DOUBLE
+                 end as confidence
+          from (select doc_id, t,
+                       unnest(list_transform(t[1:4],
+                              (x, i) -> {'w': x, 'i': i})) as u
+                from base))"""
+    sql["doc_validation"] = _pv_tables + """,
+        per_doc as materialized (
+          select doc_id, count(*) as n,
+                 sum(length(content))::BIGINT as chars,
+                 sum(case when trim(content) = '' then 1 else 0 end)
+                   ::BIGINT as empty,
+                 sum(case when chapter is not null or summary is not null
+                     then 1 else 0 end)::BIGINT as meta
+          from chunks group by doc_id)
+        select b.doc_id, p.n as n_chunks,
+          round(p.chars::DOUBLE / length(b.text), 6) as coverage,
+          p.empty as empty_chunks,
+          round(p.meta::DOUBLE / p.n, 6) as metadata_ratio,
+          round(p.chars::DOUBLE / greatest(p.n, 1), 6) as avg_chunk_size,
+          (case when length(b.text) > 0 and p.n > 0
+                     and p.chars::DOUBLE / length(b.text)
+                         >= 0.9::DOUBLE
+                     and p.empty = 0 then 1 else 0 end)::INT as passed
+        from base b join per_doc p using (doc_id)
+    """
+    sql["kg_validation"] = _pv_tables + """,
+        agg as materialized (
+          select * from
+            (select count(*)::BIGINT as ne,
+                    sum(case when confidence < 0.0::DOUBLE
+                             or confidence > 1.0::DOUBLE
+                        then 1 else 0 end)::BIGINT as e_badc,
+                    sum(case when entity_type = '' then 1 else 0 end)
+                      ::BIGINT as e_notype,
+                    sum(case when trim(name) = '' then 1 else 0 end)
+                      ::BIGINT as e_noname,
+                    sum(confidence) as e_csum
+             from ents),
+            (select count(*)::BIGINT as m_bad from men
+             where chunk_id not in (select distinct chunk_id
+                                    from chunks)),
+            (select count(*)::BIGINT as nm from men),
+            (select count(*)::BIGINT as r_orphan from rels
+             where source not in (select distinct entity_id from ents)
+                or target not in (select distinct entity_id from ents)),
+            (select count(*)::BIGINT as nr,
+                    sum(case when confidence < 0.0::DOUBLE
+                             or confidence > 1.0::DOUBLE
+                        then 1 else 0 end)::BIGINT as r_badc,
+                    sum(case when relation_type = '' then 1 else 0 end)
+                      ::BIGINT as r_notype,
+                    sum(confidence) as r_csum
+             from rels),
+            (select count(*)::BIGINT as nd from base),
+            (select count(*)::BIGINT as nc from chunks)),
+        agg2 as materialized (
+          select *,
+            ne::DOUBLE / nc as epc,
+            nr::DOUBLE / ne as conn,
+            (ne > 0 and e_badc = 0 and e_notype = 0 and e_noname = 0
+             and m_bad = 0) as ent_ok,
+            (nr > 0 and r_badc = 0 and r_notype = 0 and r_orphan = 0)
+              as rel_ok
+          from agg),
+        agg3 as materialized (
+          select *,
+            ((ne > 0 or nd > 0)
+             and (nc = 0 or (epc >= 0.1::DOUBLE and epc <= 10.0::DOUBLE))
+             and (ne <= 1 or conn > 0.1::DOUBLE)) as graph_ok,
+            ((case when ne > 0 then 1 else 0 end)
+             + (case when e_badc = 0 then 1 else 0 end)
+             + (case when e_notype = 0 then 1 else 0 end)
+             + (case when e_noname = 0 then 1 else 0 end)
+             + (case when m_bad = 0 then 1 else 0 end)
+             + (case when nr > 0 then 1 else 0 end)
+             + (case when r_badc = 0 then 1 else 0 end)
+             + (case when r_notype = 0 then 1 else 0 end)
+             + (case when r_orphan = 0 then 1 else 0 end)
+             + (case when ne > 0 or nd > 0 then 1 else 0 end)
+             + (case when nc = 0 or (epc >= 0.1::DOUBLE
+                     and epc <= 10.0::DOUBLE) then 1 else 0 end)
+             + (case when ne <= 1 or conn > 0.1::DOUBLE
+                then 1 else 0 end)) as n_passed
+          from agg2)
+        select 'entity' as phase, 'entities_extracted' as item,
+               'check' as kind, (ne > 0)::INT as passed,
+               round(ne::DOUBLE, 6) as value from agg3
+        union all select 'entity', 'confidence_scores_valid', 'check',
+               (e_badc = 0)::INT, round(e_badc::DOUBLE, 6) from agg3
+        union all select 'entity', 'entity_types_populated', 'check',
+               (e_notype = 0)::INT, round(e_notype::DOUBLE, 6) from agg3
+        union all select 'entity', 'entity_names_valid', 'check',
+               (e_noname = 0)::INT, round(e_noname::DOUBLE, 6) from agg3
+        union all select 'entity', 'entity_mentions_valid', 'check',
+               (m_bad = 0)::INT, round(m_bad::DOUBLE, 6) from agg3
+        union all select 'entity', 'entities_count', 'metric',
+               NULL::INT, round(ne::DOUBLE, 6) from agg3
+        union all select 'entity', 'avg_confidence', 'metric',
+               NULL::INT, round(e_csum / ne, 6) from agg3
+        union all select 'entity', 'avg_mentions_per_entity', 'metric',
+               NULL::INT, round(nm::DOUBLE / ne, 6) from agg3
+        union all select 'relationship', 'relationships_extracted',
+               'check', (nr > 0)::INT, round(nr::DOUBLE, 6) from agg3
+        union all select 'relationship',
+               'relationship_confidence_valid', 'check',
+               (r_badc = 0)::INT, round(r_badc::DOUBLE, 6) from agg3
+        union all select 'relationship',
+               'relationship_types_populated', 'check',
+               (r_notype = 0)::INT, round(r_notype::DOUBLE, 6) from agg3
+        union all select 'relationship', 'relationship_entities_exist',
+               'check', (r_orphan = 0)::INT, round(r_orphan::DOUBLE, 6)
+               from agg3
+        union all select 'relationship', 'relationships_count',
+               'metric', NULL::INT, round(nr::DOUBLE, 6) from agg3
+        union all select 'relationship', 'relationships_per_entity',
+               'metric', NULL::INT, round(conn, 6) from agg3
+        union all select 'relationship',
+               'avg_relationship_confidence', 'metric', NULL::INT,
+               round(r_csum / nr, 6) from agg3
+        union all select 'graph', 'graph_not_empty', 'check',
+               (ne > 0 or nd > 0)::INT, round((ne + nd)::DOUBLE, 6)
+               from agg3
+        union all select 'graph', 'entity_chunk_ratio_reasonable',
+               'check', (nc = 0 or (epc >= 0.1::DOUBLE
+                         and epc <= 10.0::DOUBLE))::INT,
+               round(epc, 6) from agg3
+        union all select 'graph', 'graph_connectivity', 'check',
+               (ne <= 1 or conn > 0.1::DOUBLE)::INT, round(conn, 6)
+               from agg3
+        union all select 'graph', 'documents', 'metric', NULL::INT,
+               round(nd::DOUBLE, 6) from agg3
+        union all select 'graph', 'chunks', 'metric', NULL::INT,
+               round(nc::DOUBLE, 6) from agg3
+        union all select 'graph', 'entities', 'metric', NULL::INT,
+               round(ne::DOUBLE, 6) from agg3
+        union all select 'graph', 'relationships', 'metric', NULL::INT,
+               round(nr::DOUBLE, 6) from agg3
+        union all select 'pipeline', 'entity_phase', 'phase',
+               ent_ok::INT, 5.0::DOUBLE from agg3
+        union all select 'pipeline', 'relationship_phase', 'phase',
+               rel_ok::INT, 4.0::DOUBLE from agg3
+        union all select 'pipeline', 'graph_phase', 'phase',
+               graph_ok::INT, 3.0::DOUBLE from agg3
+        union all select 'pipeline', 'overall', 'phase',
+               (ent_ok and rel_ok and graph_ok)::INT,
+               round(n_passed::DOUBLE, 6) from agg3
+        union all select 'pipeline', 'total_checks', 'metric',
+               NULL::INT, 12.0::DOUBLE from agg3
     """
 
     return sql

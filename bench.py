@@ -119,7 +119,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "noun_phrases", "syntax_deps", "detect_language",
                  "md_sections", "logic_form", "html_sections",
                  "iter_deepening", "meta_search", "rograg_validate",
-                 "rograg_query_valid", "query_rewrite"):
+                 "rograg_query_valid", "query_rewrite",
+                 "doc_validation", "kg_validation"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

@@ -608,6 +608,20 @@ def main() -> int:
         "the averaged feedback is reproducible on any engine and any "
         "partitioning.", trim(p)))
 
+    p = plan_of(q["doc_validation"](spark, sf_dir))
+    check("doc_validation: one groupBy pass, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p,
+          "expected per-doc hash aggregate + doc join")
+    SECTIONS.append((
+        "doc_validation / kg_validation — pipeline output quality gate",
+        "pipeline_validation.rs checks re-shaped for tables: the "
+        "per-document phase is ONE partial-aggregating groupBy(doc_id) "
+        "joined back to documents; the entity/relationship/graph "
+        "phases collapse to a handful of global aggregates and two "
+        "anti-joins cross-joined into a single row and exploded into "
+        "check records — validating 100 TB of pipeline output costs "
+        "two aggregate passes, not a driver loop.", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
