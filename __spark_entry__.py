@@ -1045,6 +1045,28 @@ def q_hier_summary(spark, sf_dir):
     return hierarchical_summary(chunks, fanout=4, max_len=600)
 
 
+def q_tree_query(spark, sf_dir):
+    """Q11 DocumentTree::query (summarization/mod.rs:867-930): the
+    hier_summary tree with reference keyword construction (leaf
+    frequency top-5, parent 10-smallest-distinct merge), every node
+    scored against a literal query, top-50."""
+    from graphrag_rs_spark.retrieval.summarize import (
+        hierarchical_summary, tree_keywords, tree_query,
+    )
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    chunks = (
+        words.groupBy("doc_id",
+                      F.floor(F.col("pos") / 20).alias("chunk_seq"))
+        .agg(F.concat_ws(" ", F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"])).alias("content"))
+    )
+    tree = hierarchical_summary(chunks, fanout=4, max_len=600)
+    kw = tree_keywords(tree, fanout=4)
+    return tree_query(tree, kw, "table scan merge window query data", 50)
+
+
 def q_concept_pairs(spark, sf_dir):
     """Q10 concept co-occurrence: tokens (len>3) sharing documents."""
     from graphrag_rs_spark.retrieval.fusion import concept_cooccurrence
@@ -1910,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_rewrite": q_query_rewrite,
         "doc_validation": q_doc_validation,
         "kg_validation": q_kg_validation,
+        "tree_query": q_tree_query,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -2120,7 +2143,85 @@ def _hier_summary_sql(fanout: int = 4, max_len: int = 600,
     union = " union all ".join(
         f"select doc_id, node_idx, level, summary, n_leaves from l{i}"
         for i in range(levels + 1))
-    return "with " + ",\n".join(ctes) + "\n" + union
+    return "with " + ",\n".join(ctes) + "\n" + union, ctes
+
+
+def _tree_query_sql(query: str, max_results: int = 50, fanout: int = 4,
+                    levels: int = 8) -> str:
+    """DocumentTree::query oracle: the hier_summary tree CTEs + the
+    keyword construction (leaf frequency top-5, parent 10-smallest-
+    distinct merge) unrolled per level, then the mod.rs:894-930 score
+    replayed with the query's keywords/words baked in as literals."""
+    from graphrag_rs_spark.retrieval.summarize import (
+        TREE_STOP_WORDS, extract_keywords_py,
+    )
+    _, ctes = _hier_summary_sql(fanout, 600, levels, 20)
+    ctes = list(ctes)
+    stop = "[" + ", ".join(f"'{s}'" for s in TREE_STOP_WORDS) + "]"
+    ctes.append(f"""
+        k0w as (select doc_id, node_idx, w, count(*) as c from (
+            select doc_id, node_idx,
+                   unnest(list_filter(string_split(lower(summary), ' '),
+                          x -> length(x) > 3
+                               and not list_contains({stop}, x))) as w
+            from l0) group by doc_id, node_idx, w)""")
+    ctes.append("""
+        k0 as (select doc_id, node_idx, 0 as level,
+                      (list(w order by c desc, w asc))[1:5] as kw
+               from k0w group by doc_id, node_idx)""")
+    for i in range(1, levels + 1):
+        ctes.append(f"""
+        k{i} as (select p.doc_id, p.node_idx, {i} as level,
+                 (list_sort(list_distinct(flatten(list(c.kw)))))[1:10]
+                   as kw
+               from (select doc_id, node_idx from l{i}) p
+               join k{i - 1} c on c.doc_id = p.doc_id
+                 and (c.node_idx // {fanout}) = p.node_idx
+               group by p.doc_id, p.node_idx)""")
+    alln = " union all ".join(
+        f"select doc_id, level, node_idx, summary from l{i}"
+        for i in range(levels + 1))
+    allk = " union all ".join(
+        f"select doc_id, level, node_idx, kw from k{i}"
+        for i in range(levels + 1))
+    qk = extract_keywords_py(query, 5)
+    qw = query.split()
+    kwh = " + ".join(
+        f"(case when contains(node_text, '{k}') then 1 else 0 end)"
+        for k in qk) or "0"
+    ov = " + ".join(
+        f"(case when list_contains(node_words, '{w.lower()}') "
+        f"then 1 else 0 end)" for w in qw) or "0"
+    ctes.append(f"""
+        nodes as (select a.doc_id, a.level, a.node_idx,
+                         coalesce(k.kw, []) as kw,
+                         lower(a.summary || ' '
+                               || array_to_string(coalesce(k.kw, []),
+                                                  ' ')) as node_text
+                  from ({alln}) a
+                  left join ({allk}) k
+                    using (doc_id, level, node_idx))""")
+    ctes.append(f"""
+        scored as (select doc_id, level, node_idx,
+                          array_to_string(kw, ' ') as keywords,
+                          round(({kwh})::DOUBLE
+                                + (({ov})::DOUBLE
+                                   / {float(len(qw))}::DOUBLE)
+                                  * 2.0::DOUBLE
+                                + 0.5::DOUBLE / (level + 1), 6) as score
+                   from (select *, list_filter(
+                           string_split(node_text, ' '),
+                           x -> x <> '') as node_words from nodes))""")
+    # Every l{i} is referenced by l{i+1}, k{i} AND the final union —
+    # without MATERIALIZED DuckDB inlines the whole chain once per
+    # reference and the plan grows exponentially (the unrolled-
+    # iteration gotcha; measured 225 s → seconds on sf0.01).
+    ctes = [c.replace(" as (", " as materialized (", 1) for c in ctes]
+    return ("with " + ",\n".join(ctes) + f"""
+        select doc_id, level, node_idx, keywords, score from scored
+        where score > 0.1::DOUBLE
+        order by score desc, doc_id, level, node_idx
+        limit {max_results}""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4217,7 +4318,9 @@ def oracle_sql() -> dict[str, str]:
     sql["hits"] = _hits_sql(5)
     sql["lpa_communities"] = _lpa_sql(4)
     sql["pagerank_warm"] = _pagerank_warm_sql(3, 2, 0.85)
-    sql["hier_summary"] = _hier_summary_sql(4, 600, 8, 20)
+    sql["hier_summary"] = _hier_summary_sql(4, 600, 8, 20)[0]
+    sql["tree_query"] = _tree_query_sql(
+        "table scan merge window query data", 50, 4, 8)
 
     # ---- temporal evolution analytics (G11) ---------------------------
     _tg_ed = f"""

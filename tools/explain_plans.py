@@ -622,6 +622,19 @@ def main() -> int:
         "check records — validating 100 TB of pipeline output costs "
         "two aggregate passes, not a driver loop.", trim(p)))
 
+    p = plan_of(q["tree_query"](spark, sf_dir))
+    check("tree_query: in-row keyword extraction, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p,
+          "expected array-expression keyword fold + doc-keyed level aggs")
+    SECTIONS.append((
+        "tree_query — document-tree retrieval with keyword scoring",
+        "Leaf keyword extraction (frequency top-5) is a pure in-row "
+        "array fold — no explode, no shuffle; the per-level keyword "
+        "merge reuses the tree's own groupBy(doc_id, idx/fanout) "
+        "shape, so keyword construction adds O(tree-depth) bounded "
+        "doc-keyed shuffles; query scoring is one narrow projection "
+        "over the node table with a global top-k.", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
