@@ -1067,6 +1067,42 @@ def q_tree_query(spark, sf_dir):
     return tree_query(tree, kw, "table scan merge window query data", 50)
 
 
+_CE_QUERY = "table scan merge sort join window"
+
+
+def _ce_candidates(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content"),
+        ((F.col("doc_id") % 64).cast("double") / 64.0).alias("score"))
+
+
+def q_cross_rerank(spark, sf_dir):
+    """Confidence cross-encoder rerank (reranking/cross_encoder.rs:
+    93-205): Jaccard*0.7 + length-factor*0.3 per candidate in one
+    narrow projection, retain >= 0.05, deterministic top-25.  Raw
+    (non-sigmoid) path — the sigmoid is monotonic so ranking is
+    identical; it calls exp() whose last ulp differs between JVM and C
+    libm, so it stays out of the cross-engine hash (pytest-verified)."""
+    from graphrag_rs_spark.retrieval.cross_encoder import (
+        cross_encoder_rerank,
+    )
+    return cross_encoder_rerank(
+        _ce_candidates(spark, sf_dir), _CE_QUERY,
+        top_k=25, min_confidence=0.05, normalize=False)
+
+
+def q_rerank_stats(spark, sf_dir):
+    """RerankingStats::from_results (cross_encoder.rs:233-267) over the
+    q_cross_rerank output; deltas summed as exact micro-unit BIGINTs."""
+    from graphrag_rs_spark.retrieval.cross_encoder import (
+        cross_encoder_rerank, reranking_stats,
+    )
+    cands = _ce_candidates(spark, sf_dir)
+    ranked = cross_encoder_rerank(cands, _CE_QUERY, top_k=25,
+                                  min_confidence=0.05, normalize=False)
+    return reranking_stats(cands.count(), ranked)
+
+
 def q_concept_pairs(spark, sf_dir):
     """Q10 concept co-occurrence: tokens (len>3) sharing documents."""
     from graphrag_rs_spark.retrieval.fusion import concept_cooccurrence
@@ -1933,6 +1969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_validation": q_doc_validation,
         "kg_validation": q_kg_validation,
         "tree_query": q_tree_query,
+        "cross_rerank": q_cross_rerank,
+        "rerank_stats": q_rerank_stats,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -5670,6 +5708,59 @@ def oracle_sql() -> dict[str, str]:
                round(n_passed::DOUBLE, 6) from agg3
         union all select 'pipeline', 'total_checks', 'metric',
                NULL::INT, 12.0::DOUBLE from agg3
+    """
+
+    # cross_rerank / rerank_stats oracles: the query token set is the
+    # same literal the Spark plan bakes in; raw (non-sigmoid) scores so
+    # no libm exp() enters the cross-engine hash.
+    _ce_qset = sorted(set(_CE_QUERY.split()))
+    _ce_qarr = "[" + ", ".join(f"'{w}'" for w in _ce_qset) + "]"
+    _ce_nq = len(_ce_qset)
+    _ce_base = f"""
+        base as materialized (
+          select doc_id as id,
+                 list_filter(string_split(text, ' '), x -> x <> '')
+                   as toks,
+                 (doc_id % 64)::DOUBLE / 64.0::DOUBLE as orig
+          from documents),
+        sc as materialized (
+          select id, orig,
+            case when len(toks) = 0 then 0.0::DOUBLE else
+              (case when {_ce_nq} + len(list_distinct(toks))
+                         - len(list_intersect(list_distinct(toks),
+                                              {_ce_qarr})) > 0
+                then len(list_intersect(list_distinct(toks),
+                                        {_ce_qarr}))::DOUBLE
+                     / ({_ce_nq} + len(list_distinct(toks))
+                        - len(list_intersect(list_distinct(toks),
+                                             {_ce_qarr})))
+                else 0.0::DOUBLE end) * 0.7::DOUBLE
+              + least(len(toks) / 100.0::DOUBLE, 1.0::DOUBLE)
+                * 0.3::DOUBLE
+            end as rel
+          from base),
+        ranked as materialized (
+          select id, round(rel, 6) as relevance, round(orig, 6)
+                   as original,
+                 round(rel - orig, 6) as delta
+          from sc where round(rel, 6) >= 0.05::DOUBLE
+          order by round(rel, 6) desc, id limit 25)"""
+    sql["cross_rerank"] = f"""
+        with {_ce_base}
+        select id, relevance, original, delta from ranked
+    """
+    sql["rerank_stats"] = f"""
+        with {_ce_base}
+        select (select count(*) from base)::INT as candidates_count,
+               count(*)::INT as results_count,
+               round((sum(round(delta * 1000000.0)::BIGINT)::DOUBLE
+                      / 1000000.0::DOUBLE) / count(*), 6)
+                 as avg_improvement,
+               round(max(delta), 6) as max_improvement,
+               round(((select count(*) from base) - count(*))::DOUBLE
+                     / (select count(*) from base)
+                     * 100.0::DOUBLE, 6) as filter_rate
+        from ranked
     """
 
     return sql

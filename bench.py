@@ -120,7 +120,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "md_sections", "logic_form", "html_sections",
                  "iter_deepening", "meta_search", "rograg_validate",
                  "rograg_query_valid", "query_rewrite",
-                 "doc_validation", "kg_validation", "tree_query"):
+                 "doc_validation", "kg_validation", "tree_query",
+                 "cross_rerank"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

@@ -635,6 +635,19 @@ def main() -> int:
         "doc-keyed shuffles; query scoring is one narrow projection "
         "over the node table with a global top-k.", trim(p)))
 
+    p = plan_of(q["cross_rerank"](spark, sf_dir))
+    check("cross_rerank: single projection + top-k, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "TakeOrderedAndProject" in p,
+          "expected narrow scoring projection + TakeOrderedAndProject")
+    SECTIONS.append((
+        "cross_rerank — confidence cross-encoder reranking",
+        "The query token set is an array literal in the plan; "
+        "Jaccard + length-factor scoring is one narrow projection and "
+        "the deterministic top-k compiles to TakeOrderedAndProject "
+        "(per-partition heaps, no global sort) — reranking a billion "
+        "candidates moves only top_k rows per partition.", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
