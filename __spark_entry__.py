@@ -1067,6 +1067,49 @@ def q_tree_query(spark, sf_dir):
     return tree_query(tree, kw, "table scan merge window query data", 50)
 
 
+def _corpus_members(spark, sf_dir):
+    """Flat cluster-members table for the corpus-KG rollup: exact-match
+    clusters keyed by word (first 10 word slots per doc, duplicates
+    kept — they exercise the member-count document_frequency quirk),
+    alias variants by doc parity."""
+    d = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    return d.select(F.col("doc_id").alias("document_id"),
+                    F.explode(F.slice(t, 1, 10)).alias("w")) \
+        .select(
+            "document_id", F.col("w").alias("cluster_id"),
+            F.col("w").alias("canonical_name"),
+            F.lit("concept").alias("entity_type"),
+            F.concat(F.col("w"),
+                     F.when(F.col("document_id") % 2 == 1, "_v")
+                     .otherwise("")).alias("name"))
+
+
+def q_corpus_entities(spark, sf_dir):
+    """Corpus-KG global entities (corpus/knowledge_graph.rs:150-184):
+    per-cluster rollup with the ln-based importance score computed via
+    the shared no-libm micro-int log dimension."""
+    from graphrag_rs_spark.operators.corpus_kg import global_entities
+    return global_entities(_corpus_members(spark, sf_dir))
+
+
+def q_corpus_relations(spark, sf_dir):
+    """Cross-document co-occurrence relations
+    (corpus/knowledge_graph.rs:188-258) with the closed-form
+    confidence accumulation."""
+    from graphrag_rs_spark.operators.corpus_kg import cross_doc_relations
+    return cross_doc_relations(_corpus_members(spark, sf_dir))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """GraphStats rollup (corpus/knowledge_graph.rs:293-330)."""
+    from graphrag_rs_spark.operators.corpus_kg import (
+        corpus_kg_stats, cross_doc_relations, global_entities,
+    )
+    m = _corpus_members(spark, sf_dir)
+    return corpus_kg_stats(global_entities(m), cross_doc_relations(m))
+
+
 _CE_QUERY = "table scan merge sort join window"
 
 
@@ -1971,6 +2014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_query": q_tree_query,
         "cross_rerank": q_cross_rerank,
         "rerank_stats": q_rerank_stats,
+        "corpus_entities": q_corpus_entities,
+        "corpus_relations": q_corpus_relations,
+        "corpus_stats": q_corpus_stats,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -5761,6 +5807,91 @@ def oracle_sql() -> dict[str, str]:
                      / (select count(*) from base)
                      * 100.0::DOUBLE, 6) as filter_rate
         from ranked
+    """
+
+    # corpus_entities / corpus_relations / corpus_stats oracles: the
+    # members table rebuilt in SQL; the importance ln() comes from the
+    # SAME Python-generated micro-int dimension the Spark plan
+    # broadcasts (no libm call in either engine's plan).
+    from graphrag_rs_spark.operators.corpus_kg import (
+        LN_CAP, ln_micro_rows,
+    )
+    _ln_vals = ", ".join(f"({n}, {m})" for n, m in ln_micro_rows())
+    _ck_mem = """
+        tok as materialized (
+          select doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        mem as materialized (
+          select doc_id as document_id, w as cluster_id,
+                 w as canonical_name, 'concept' as entity_type,
+                 w || (case when doc_id % 2 = 1 then '_v' else '' end)
+                   as name
+          from (select doc_id, unnest(t[1:10]) as w from tok))"""
+    _ck_ents = f"""
+        lnd(n, lnm) as materialized (values {_ln_vals}),
+        agg as materialized (
+          select cluster_id, min(canonical_name) as canonical_name,
+                 min(entity_type) as entity_type,
+                 count(*)::BIGINT as total_mentions,
+                 count(distinct document_id)::BIGINT as spread,
+                 count(distinct name)::BIGINT as n_aliases
+          from mem group by cluster_id),
+        ents as materialized (
+          select a.cluster_id, a.canonical_name, a.entity_type,
+                 a.total_mentions as document_frequency,
+                 a.total_mentions, a.spread, a.n_aliases,
+                 round(((ldf.lnm / 1000000.0::DOUBLE + 1.0::DOUBLE)
+                          * 0.4::DOUBLE
+                        + (ltm.lnm / 1000000.0::DOUBLE + 1.0::DOUBLE)
+                          * 0.3::DOUBLE
+                        + a.spread * 0.3::DOUBLE) / 3.0::DOUBLE, 6)
+                   as importance,
+                 (a.total_mentions > 1)::INT as is_cross_document
+          from agg a
+          join lnd ldf on ldf.n = least(a.total_mentions, {LN_CAP})
+          join lnd ltm on ltm.n = least(a.total_mentions, {LN_CAP}))"""
+    _ck_rels = """
+        de as materialized (
+          select distinct document_id, cluster_id from mem),
+        rels as materialized (
+          select a.cluster_id as source, b.cluster_id as target,
+                 'co_occurs' as relation_type,
+                 count(*)::BIGINT as document_frequency,
+                 round(least(0.7::DOUBLE
+                             + (count(*) - 1) * 0.1::DOUBLE,
+                             1.0::DOUBLE), 6) as confidence
+          from de a join de b
+            on a.document_id = b.document_id
+           and a.cluster_id < b.cluster_id
+          group by a.cluster_id, b.cluster_id)"""
+    sql["corpus_entities"] = f"""
+        with {_ck_mem}, {_ck_ents}
+        select * from ents
+    """
+    sql["corpus_relations"] = f"""
+        with {_ck_mem}, {_ck_rels}
+        select * from rels
+    """
+    sql["corpus_stats"] = f"""
+        with {_ck_mem}, {_ck_ents}, {_ck_rels},
+        ea as materialized (
+          select count(*)::BIGINT as ne,
+                 sum(is_cross_document)::BIGINT as xd
+          from ents),
+        ra as materialized (select count(*)::BIGINT as nr from rels)
+        select ne::INT as total_entities, nr::INT as total_relations,
+               xd::INT as cross_document_entities,
+               (ne - xd)::INT as single_document_entities,
+               round(case when ne > 0 then (nr * 2)::DOUBLE / ne
+                     else 0.0::DOUBLE end, 6)
+                 as avg_entity_connections,
+               round(case when ne > 1
+                     then nr::DOUBLE / (ne * (ne - 1) / 2)
+                     else 0.0::DOUBLE end, 6) as graph_density,
+               ne::INT as largest_component_size
+        from ea, ra
     """
 
     return sql

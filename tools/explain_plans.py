@@ -648,6 +648,22 @@ def main() -> int:
         "(per-partition heaps, no global sort) — reranking a billion "
         "candidates moves only top_k rows per partition.", trim(p)))
 
+    p = plan_of(q["corpus_entities"](spark, sf_dir))
+    check("corpus_entities: broadcast ln dim, no Python, no libm",
+          "BroadcastHashJoin" in p and "BatchEvalPython" not in p
+          and " LOG(" not in p.upper().replace("CATALOG", ""),
+          "expected broadcast micro-int log dim; ln() must not appear")
+    SECTIONS.append((
+        "corpus_entities / corpus_relations — corpus-KG rollup",
+        "Global entities are one groupBy(cluster_id) with the "
+        "importance ln() replaced by a broadcast Python-generated "
+        "micro-int log dimension (Java and C libm logs differ in the "
+        "last ulp — the repo bans libm from cross-engine-hashed "
+        "plans).  Cross-document relations are per-doc distinct "
+        "cluster pairs (bounded per-doc fan-out, like triple "
+        "emission) rolled up by pair key with closed-form confidence "
+        "— no driver maps, no unbounded state.", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
