@@ -1110,6 +1110,37 @@ def q_corpus_stats(spark, sf_dir):
     return corpus_kg_stats(global_entities(m), cross_doc_relations(m))
 
 
+def q_qa_eval(spark, sf_dir):
+    """QA answer-quality metrics (monitoring/benchmark.rs:322-380):
+    exact-match + duplicate-counting token-overlap F1 per pair, over
+    generated/truth pairs synthesized from each document (generated =
+    words 1..12 with every 3rd doc's tail perturbed, truth = words
+    1..15) so partial overlaps exercise the precision/recall blend."""
+    from graphrag_rs_spark.operators.qa_eval import qa_quality
+    d = _docs(spark, sf_dir)
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = d.select(F.col("doc_id"), t.alias("t")) \
+        .filter(F.size("t") >= 15)
+    gen = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.array_join(F.slice(F.col("t"), 1, 8), " "),
+                 F.lit(" zzq zzr zzs zzt")))\
+        .when(F.col("doc_id") % 7 == 0,
+              F.array_join(F.slice(F.col("t"), 1, 15), " "))\
+        .otherwise(F.array_join(F.slice(F.col("t"), 1, 12), " "))
+    return qa_quality(base.select(
+        F.col("doc_id").alias("id"), gen.alias("generated"),
+        F.array_join(F.slice(F.col("t"), 1, 15), " ")
+        .alias("ground_truth")))
+
+
+def q_qa_summary(spark, sf_dir):
+    """Dataset-level QA averages (benchmark.rs:383-441), micro-int
+    order-independent sums."""
+    from graphrag_rs_spark.operators.qa_eval import qa_summary
+    return qa_summary(q_qa_eval(spark, sf_dir))
+
+
 _CE_QUERY = "table scan merge sort join window"
 
 
@@ -2017,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_entities": q_corpus_entities,
         "corpus_relations": q_corpus_relations,
         "corpus_stats": q_corpus_stats,
+        "qa_eval": q_qa_eval,
+        "qa_summary": q_qa_summary,
         "repetition_stats": q_repetition_stats,
         "lm_perplexity": q_lm_perplexity,
         "contamination": q_contamination,
@@ -5892,6 +5925,62 @@ def oracle_sql() -> dict[str, str]:
                      else 0.0::DOUBLE end, 6) as graph_density,
                ne::INT as largest_component_size
         from ea, ra
+    """
+
+    # qa_eval / qa_summary oracles — the duplicate-counting F1 and the
+    # micro-int averaged summary replayed exactly.
+    _qa_base = """
+        tok as materialized (
+          select doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') as t
+          from documents),
+        qabase as materialized (
+          select doc_id as id,
+            case when doc_id % 3 = 0 then array_to_string(t[1:8], ' ')
+                   || ' zzq zzr zzs zzt'
+                 when doc_id % 7 = 0 then array_to_string(t[1:15], ' ')
+                 else array_to_string(t[1:12], ' ') end as gen,
+            array_to_string(t[1:15], ' ') as gt
+          from tok where len(t) >= 15),
+        qt as materialized (
+          select id,
+            (case when lower(trim(gen)) = lower(trim(gt))
+             then 1 else 0 end)::INT as exact_match,
+            list_filter(string_split(lower(gen), ' '), x -> x <> '')
+              as gtoks,
+            list_filter(string_split(lower(gt), ' '), x -> x <> '')
+              as ttoks
+          from qabase),
+        qc as materialized (
+          select id, exact_match, gtoks, ttoks,
+            len(list_filter(gtoks, x -> list_contains(ttoks, x)))
+              as common
+          from qt),
+        qs as materialized (
+          select id, exact_match,
+            round(case when len(gtoks) = 0 or len(ttoks) = 0
+                  then 0.0::DOUBLE
+                  when common = 0 then 0.0::DOUBLE
+                  else 2.0::DOUBLE
+                       * ((common::DOUBLE / len(gtoks))
+                          * (common::DOUBLE / len(ttoks)))
+                       / ((common::DOUBLE / len(gtoks))
+                          + (common::DOUBLE / len(ttoks)))
+                  end, 6) as f1
+          from qc)"""
+    sql["qa_eval"] = f"""
+        with {_qa_base}
+        select id, exact_match, f1 from qs
+    """
+    sql["qa_summary"] = f"""
+        with {_qa_base}
+        select count(*)::INT as total_queries,
+               round(sum(exact_match)::DOUBLE / count(*), 6)
+                 as avg_exact_match,
+               round((sum(round(f1 * 1000000.0)::BIGINT)::DOUBLE
+                      / 1000000.0::DOUBLE) / count(*), 6) as avg_f1
+        from qs
     """
 
     return sql

@@ -121,7 +121,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "iter_deepening", "meta_search", "rograg_validate",
                  "rograg_query_valid", "query_rewrite",
                  "doc_validation", "kg_validation", "tree_query",
-                 "cross_rerank", "corpus_entities", "corpus_relations"):
+                 "cross_rerank", "corpus_entities", "corpus_relations",
+                 "qa_eval"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

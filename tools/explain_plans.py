@@ -664,6 +664,20 @@ def main() -> int:
         "emission) rolled up by pair key with closed-form confidence "
         "— no driver maps, no unbounded state.", trim(p)))
 
+    p = plan_of(q["qa_eval"](spark, sf_dir))
+    check("qa_eval: per-pair scoring is one narrow map, no Python",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "Exchange" not in p,
+          "expected a single projection over the parquet scan")
+    SECTIONS.append((
+        "qa_eval / qa_summary — QA answer-quality metrics",
+        "Exact-match and the duplicate-counting token F1 are in-row "
+        "array expressions (zero shuffles — scoring a billion "
+        "generated answers is a map); the dataset summary is one "
+        "aggregate whose F1 average sums per-row micro-unit BIGINTs, "
+        "so the result is identical under any partitioning or "
+        "engine.", trim(p)))
+
     p = plan_of(q["pos_tag"](spark, sf_dir))
     check("pos_tag: lexicon broadcast, no Python",
           "BroadcastHashJoin" in p and "BatchEvalPython" not in p,
