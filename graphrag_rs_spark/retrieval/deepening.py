@@ -54,8 +54,19 @@ def build_concept_graph(cc: DataFrame, min_cooccurrence: int = 1,
     cc = cc.select("chunk_id", "concept").distinct()
     concepts = cc.groupBy("concept").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq"))
-    a = cc.select(F.col("concept").alias("a"), "chunk_id")
-    b = cc.select(F.col("concept").alias("b"), "chunk_id")
+    # a pair with shared ≥ k requires BOTH concepts to appear in ≥ k
+    # chunks, so the Zipf tail (freq < k — most of the vocabulary) can
+    # be pruned BEFORE the quadratic per-chunk self-join, not after
+    pairable = cc
+    if min_cooccurrence > 1:
+        # no broadcast hint: the surviving vocabulary is usually tiny
+        # (AQE broadcasts it), but at corpus scale it can be millions of
+        # rows and a forced broadcast would OOM the driver
+        frequent = concepts.filter(F.col("freq") >= min_cooccurrence) \
+            .select("concept")
+        pairable = cc.join(frequent, "concept")
+    a = pairable.select(F.col("concept").alias("a"), "chunk_id")
+    b = pairable.select(F.col("concept").alias("b"), "chunk_id")
     shared = (a.join(b, "chunk_id").filter(F.col("a") < F.col("b"))
               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("shared"))
               .filter(F.col("shared") >= min_cooccurrence))

@@ -69,6 +69,14 @@ def concept_cooccurrence(
     ic = item_container.select(
         F.col(item_col).alias("item"),
         F.col(container_col).alias("container")).distinct()
+    if min_count > 1:
+        # a pair sharing ≥ k containers needs both items in ≥ k
+        # containers — prune the Zipf tail before the quadratic join
+        # (AQE broadcasts the surviving item dim when it is small)
+        frequent = (ic.groupBy("item")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") >= min_count).select("item"))
+        ic = ic.join(frequent, "item")
     a, b = ic.alias("a"), ic.alias("b")
     return (
         a.join(b, (F.col("a.container") == F.col("b.container"))

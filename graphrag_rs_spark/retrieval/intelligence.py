@@ -173,6 +173,10 @@ def rewrite_queries(
         rel = F.lit(0.5)
         joined = base.withColumn("_rel", rel)
     else:
+        # the feedback branch reads `base` twice (term explode + final
+        # join) and the synonym-expansion fold is the expensive per-row
+        # expression — persist so it is computed once, not twice
+        base = base.persist()
         folded = fold_feedback(feedback)
         per_term = (base
                     .select("query_id", F.explode("_terms").alias("term"))
