@@ -109,6 +109,16 @@ def random_walks(
     corpus value-for-value; see the node2vec_walks contract oracle).
     """
     adj = _adjacency(edges).persist()
+    # Uniform fast path: with no weight column every alpha is the exact
+    # literal 1.0, and with p == q == 1 the bias multiplier is 1 on every
+    # branch, so the inverse-CDF fold degenerates: cum_i = i+1 and
+    # total = n are EXACT doubles (integral sums), making the first
+    # index with cum >= u*total equal to max(0, ceil(u*n)-1) — the same
+    # value the fold computes, bit-for-bit, at O(1) per row instead of
+    # an O(degree) interpreted lambda fold (hot suppliers have ~10³
+    # neighbors; the fold dominated the walk step there).
+    uniform_draw = ("weight" not in edges.columns
+                    and float(p) == 1.0 and float(q) == 1.0)
 
     walkers = adj.select(
         F.col("node").alias("start"),
@@ -153,10 +163,16 @@ def random_walks(
             u = (F.pmod(F.xxhash64("start", "walk_id", F.lit(step), "cur",
                                    F.lit(seed)), F.lit(_M))
                  .cast("double") / F.lit(float(_M)))
+        if uniform_draw:
+            n = F.size("nbrs").cast("double")
+            pick = F.greatest(F.lit(0),
+                              (F.ceil(u * n) - 1).cast("int"))
+        else:
+            pick = _pick_expr(alphas, u)
         nxt = F.when(F.col("done") | F.col("nbrs").isNull()
                      | (F.size("nbrs") == 0),
                      F.lit(None).cast("string")) \
-            .otherwise(F.col("nbrs")[_pick_expr(alphas, u)]["dst"])
+            .otherwise(F.col("nbrs")[pick]["dst"])
         # `nxt` must be evaluated EXACTLY ONCE per row: higher-order
         # functions (the _pick_expr fold) evaluate via interpreted
         # LambdaVariables, and duplicating the expression across several
