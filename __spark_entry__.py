@@ -289,7 +289,10 @@ def _kg_sql_parts(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     lex = spark.createDataFrame(_KG_SQL_LEXICON, ["phrase", "entity_type"])
-    ner = dictionary_ner(d, lex, max_words=3)
+    # the NER scan feeds triple emission, the entity table, and (via it)
+    # the linker self-join + CC — persist so the documents explode runs
+    # once, not once per consumer job
+    ner = dictionary_ner(d, lex, max_words=3).persist()
     eid = F.concat("entity_type", F.lit(":"),
                    F.regexp_replace("name", " ", "_"))
     chunks = d.select(F.col("doc_id").cast("string").alias("chunk_id"),
@@ -301,7 +304,8 @@ def _kg_sql_parts(spark, sf_dir):
     tm = emit_triple_mentions(chunk_entities, chunks)
 
     entities = ner.groupBy(eid.alias("entity_id"), "name", "entity_type") \
-        .agg(F.sum("n_mentions").cast("double").alias("confidence"))
+        .agg(F.sum("n_mentions").cast("double").alias("confidence")) \
+        .persist()
     # SQL-expressible linker rule standing in for the pandas scorer:
     # same type, shared first token (the blocking key), levenshtein
     # similarity over full names ≥ τ — exact small-int division, so both

@@ -58,6 +58,11 @@ def ego_network(edges: DataFrame, center: str, radius: int = 2,
     """Edges of the radius-hop neighborhood of `center`
     (traversal.rs:248 ego networks): both endpoints within radius."""
     spark = edges.sparkSession
+    # materialize the edge list once: it feeds the BFS (via its own
+    # bidir persist) AND the endpoint semi-joins below — without this a
+    # caller handing in an expensive edge-building plan (join+distinct)
+    # pays for it twice
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     src = spark.createDataFrame([(center,)], "node string")
     reach = bfs_levels(edges, src, max_depth=radius, directed=directed)
     nodes = reach.select("node")
