@@ -13,6 +13,15 @@ Cross-engine determinism rules used throughout:
   - every float output is rounded (4-8 dp) BEFORE any ranking/limit
   - every window/limit has a total deterministic ordering
   - timestamps are exported as epoch seconds (bigint)
+  - transcendentals: newer queries bake log values into micro-int
+    dimensions shared by both engines (corpus_kg.ln_micro_rows,
+    skipgram's no-ln PMI form) so no libm call sits in a hashed plan;
+    earlier queries (tfidf, bm25, dsir, lm_perplexity, link_prediction,
+    iter_deepening) still compare JVM Math.log against DuckDB libm ln
+    directly.  Residual risk is a value within ~1 ulp of a 6-dp rounding
+    boundary flipping differently (~1e-10 per hashed value, static per
+    dataset — the fixed sf tables pass deterministically); new hashed
+    queries should use the dim pattern.
 """
 
 from __future__ import annotations
@@ -290,9 +299,11 @@ def _kg_sql_parts(spark, sf_dir):
     d = _docs(spark, sf_dir)
     lex = spark.createDataFrame(_KG_SQL_LEXICON, ["phrase", "entity_type"])
     # the NER scan feeds triple emission, the entity table, and (via it)
-    # the linker self-join + CC — persist so the documents explode runs
-    # once, not once per consumer job
-    ner = dictionary_ner(d, lex, max_words=3).persist()
+    # the linker self-join + CC — materialize once for all consumer jobs.
+    # localCheckpoint, not persist: a per-call persist is never
+    # unpersisted (leaked CacheManager entry), while checkpoint storage
+    # is freed by the ContextCleaner once the plans drop out of scope
+    ner = dictionary_ner(d, lex, max_words=3).localCheckpoint(eager=True)
     eid = F.concat("entity_type", F.lit(":"),
                    F.regexp_replace("name", " ", "_"))
     chunks = d.select(F.col("doc_id").cast("string").alias("chunk_id"),
@@ -305,7 +316,7 @@ def _kg_sql_parts(spark, sf_dir):
 
     entities = ner.groupBy(eid.alias("entity_id"), "name", "entity_type") \
         .agg(F.sum("n_mentions").cast("double").alias("confidence")) \
-        .persist()
+        .localCheckpoint(eager=True)
     # SQL-expressible linker rule standing in for the pandas scorer:
     # same type, shared first token (the blocking key), levenshtein
     # similarity over full names ≥ τ — exact small-int division, so both
@@ -763,7 +774,12 @@ def q_knn_cc(spark, sf_dir):
                         F.col("component").cast("bigint").alias("component"))
 
 
-def _cust_supp_edges(spark, sf_dir):
+def _cust_supp_directed(spark, sf_dir, thin_mod=None):
+    """Directed c<custkey> → s<suppkey> co-purchase edges (distinct);
+    `thin_mod` keeps 1/thin_mod of edges by h60(src|dst) — the ONE
+    builder behind every customer-supplier graph query, so the Spark
+    side and the matching e0 oracle CTEs can never drift apart
+    copy-by-copy."""
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     e0 = (
@@ -777,8 +793,20 @@ def _cust_supp_edges(spark, sf_dir):
         )
         .distinct()
     )
+    if thin_mod:
+        from graphrag_rs_spark.functions.hashing import h60
+        e0 = e0.filter(h60(F.concat_ws("|", "src", "dst"))
+                       % thin_mod == 0)
+    return e0
+
+
+def _bidir(e0):
     return e0.union(e0.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst")))
+
+
+def _cust_supp_edges(spark, sf_dir):
+    return _bidir(_cust_supp_directed(spark, sf_dir))
 
 
 def q_ego_net(spark, sf_dir):
@@ -986,18 +1014,7 @@ def q_hits(spark, sf_dir):
     orders across important suppliers, authorities the suppliers they
     concentrate on; L1-normalized so the oracle unrolls plain sums."""
     from graphrag_rs_spark.algos.hits import hits
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    e0 = (
-        orders.join(lineitem,
-                    orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"))
-        .distinct())
-    return hits(e0, iterations=5)
+    return hits(_cust_supp_directed(spark, sf_dir), iterations=5)
 
 
 def q_lpa(spark, sf_dir):
@@ -1006,18 +1023,8 @@ def q_lpa(spark, sf_dir):
     graph — deterministic (total tie-break), so the oracle unrolls the
     exact vote arithmetic round by round."""
     from graphrag_rs_spark.algos.lpa import lpa_communities
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    e0 = (
-        orders.join(lineitem,
-                    orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"))
-        .distinct())
-    return lpa_communities(e0, iterations=4)
+    return lpa_communities(_cust_supp_directed(spark, sf_dir),
+                           iterations=4)
 
 
 def q_pagerank_warm(spark, sf_dir):
@@ -1272,21 +1279,7 @@ def q_kcore(spark, sf_dir):
     peel (3 rounds at sf0.01); oracle unrolls 6 rounds (monotone, so
     extra rounds are no-ops, pagerank-oracle pattern)."""
     from graphrag_rs_spark.algos.kcore import k_core
-    from graphrag_rs_spark.functions.hashing import h60
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    e0 = (
-        orders.join(lineitem,
-                    orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"))
-        .distinct()
-        .filter(h60(F.concat_ws("|", "src", "dst")) % 16 == 0))
-    edges = e0.union(e0.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")))
+    edges = _bidir(_cust_supp_directed(spark, sf_dir, thin_mod=16))
     return k_core(edges, k=4)
 
 
@@ -1314,19 +1307,7 @@ def q_link_prediction(spark, sf_dir):
     (same graph as `kcore`), Adamic-Adar ranked with a 64-degree hub
     cap — wedge self-join on the shared neighbor, never all-pairs."""
     from graphrag_rs_spark.algos.linkpred import link_prediction
-    from graphrag_rs_spark.functions.hashing import h60
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    e0 = (
-        orders.join(lineitem,
-                    orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"))
-        .distinct()
-        .filter(h60(F.concat_ws("|", "src", "dst")) % 16 == 0))
+    e0 = _cust_supp_directed(spark, sf_dir, thin_mod=16)
     return link_prediction(e0, max_degree=64, top_k=100)
 
 

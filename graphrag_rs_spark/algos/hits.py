@@ -59,7 +59,9 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
                     .otherwise(0.0).alias("score"))
         )
 
-    a = None
+    # iterations == 0 → uniform init for both sides, mirroring pagerank's
+    # and lpa's graceful zero-iteration behavior (a=None would crash below)
+    a = h
     for _ in range(int(iterations)):
         a = _half(h, "src", "dst").localCheckpoint(eager=True)
         h = _half(a, "dst", "src").localCheckpoint(eager=True)

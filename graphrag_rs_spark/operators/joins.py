@@ -173,9 +173,16 @@ def range_join_points(
     if how == "left":
         matched = p.join(iv, "_bin").filter(hit).drop("_bin")
         ivc = [c for c in intervals.columns]
-        lone = p.drop("_bin").join(
-            matched.select(*points.columns).distinct(),
-            list(points.columns), "left_anti")
+        # null-SAFE anti-join: with plain column-name equality a matched
+        # point carrying a NULL in any column fails its own equality test
+        # and is emitted a second time as spurious-unmatched
+        pl = p.drop("_bin").alias("_pl")
+        m = matched.select(*points.columns).distinct().alias("_m")
+        same = None
+        for c in points.columns:
+            eq = F.col(f"_pl.{c}").eqNullSafe(F.col(f"_m.{c}"))
+            same = eq if same is None else (same & eq)
+        lone = pl.join(m, same, "left_anti")
         for c in ivc:
             lone = lone.withColumn(
                 c, F.lit(None).cast(intervals.schema[c].dataType))

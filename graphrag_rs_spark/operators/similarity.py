@@ -490,7 +490,8 @@ def quantized_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     side moves ~4× fewer bytes.
     """
     qv = quantize_embeddings(queries.select(
-        F.col(query_id_col).alias("vec_id"), F.col(vec_col))) \
+        F.col(query_id_col).alias("vec_id"), F.col(vec_col)),
+        "vec_id", vec_col) \
         .select(F.col("vec_id").alias("query_id"),
                 F.col("scale").alias("qs"), F.col("qvec").alias("qq"),
                 F.col("qnorm").alias("qn"))

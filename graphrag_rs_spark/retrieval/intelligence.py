@@ -175,8 +175,10 @@ def rewrite_queries(
     else:
         # the feedback branch reads `base` twice (term explode + final
         # join) and the synonym-expansion fold is the expensive per-row
-        # expression — persist so it is computed once, not twice
-        base = base.persist()
+        # expression — materialize once.  localCheckpoint, not persist:
+        # a per-call persist is never unpersisted (leaked CacheManager
+        # entry); checkpoint storage is freed by the ContextCleaner
+        base = base.localCheckpoint(eager=True)
         folded = fold_feedback(feedback)
         per_term = (base
                     .select("query_id", F.explode("_terms").alias("term"))

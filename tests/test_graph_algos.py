@@ -299,3 +299,12 @@ def test_lpa_self_vote_damps_bipartite_oscillation(spark):
         out = {r.node: r.community for r in
                lpa_communities(e, iterations=iters).collect()}
         assert set(out.values()) == {"a"} and len(out) == 4
+
+
+def test_hits_zero_iterations_returns_uniform_init(spark):
+    from graphrag_rs_spark.algos.hits import hits
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    out = {r.node: r for r in hits(e, iterations=0).collect()}
+    assert len(out) == 3
+    assert all(r.hub == 1.0 and r.authority == 1.0 for r in out.values())

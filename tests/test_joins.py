@@ -187,3 +187,17 @@ def test_range_join_plan_has_no_nested_loop(spark):
     plan = range_join_points(points, intervals, "x", "lo", "hi", 2.0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_left_null_point_column_no_duplicates(spark):
+    # a matched point carrying a NULL in a non-key column must not be
+    # re-emitted as spurious-unmatched (the anti-join is null-SAFE)
+    points = spark.createDataFrame(
+        [(1, None, 5.0), (2, "t", 50.0)],
+        "pid int, tag string, x double")
+    intervals = spark.createDataFrame(
+        [("i1", 0.0, 10.0)], "iid string, lo double, hi double")
+    rows = range_join_points(points, intervals, "x", "lo", "hi",
+                             bin_width=4.0, how="left").collect()
+    got = sorted((r.pid, r.iid) for r in rows)
+    assert got == [(1, "i1"), (2, None)]

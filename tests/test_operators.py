@@ -603,3 +603,14 @@ def test_incremental_dedup(spark):
     out2 = {r["doc_id"]: r["n_band_hits"] for r in
             dedup.incremental_dedup(new, sh2, sb2).collect()}
     assert out2 == {k: v["n_band_hits"] for k, v in out.items()}
+
+
+def test_quantized_topk_respects_vec_col(vecs):
+    # regression: the query side used to hard-code vec_col='embedding'
+    from graphrag_rs_spark.operators.similarity import quantized_topk
+    renamed = vecs.withColumnRenamed("embedding", "emb")
+    queries = renamed.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "emb")
+    out = quantized_topk(renamed, queries, k=3, vec_col="emb").collect()
+    assert len(out) > 0 and {"query_id", "vec_id", "sim", "rank"} <= \
+        set(out[0].asDict())
