@@ -170,7 +170,11 @@ def betweenness_centrality(
     # Successors of a depth-d node sit exactly at depth d+1, so each
     # backward level joins only the previous level's deltas.
     prev = None      # (source, w, w_du) — the level just above
-    delta = None     # accumulated (source, node, du) over all levels
+    deltas = []      # per-level (source, node, du) — each already
+    #                  checkpointed; unioned ONCE after the loop (an
+    #                  eager checkpoint of the growing union would
+    #                  re-serialize level-1 results at every level,
+    #                  O(levels²) materialization)
     for d in range(max_d - 1, -1, -1):
         lvl = dag.filter(F.col("v_dist") == d)
         if prev is not None:
@@ -185,8 +189,11 @@ def betweenness_centrality(
                .localCheckpoint(eager=True))
         prev = cur.select("source", F.col("node").alias("w"),
                           F.col("du").alias("w_du"))
-        delta = cur if delta is None else \
-            delta.union(cur).localCheckpoint(eager=True)
+        deltas.append(cur)
+
+    delta = None
+    for part in deltas:
+        delta = part if delta is None else delta.union(part)
 
     if delta is None:
         spark = edges.sparkSession

@@ -108,6 +108,11 @@ def random_walks(
     engine-portable hash, so an external SQL engine can replay the walk
     corpus value-for-value; see the node2vec_walks contract oracle).
     """
+    if walks_per_node < 1:
+        # F.sequence(0, walks_per_node-1) would COUNT DOWN (sequence's
+        # inferred step is -1), silently emitting walks with ids 0, -1…
+        return edges.sparkSession.createDataFrame(
+            [], "node string, walk_id int, walk array<string>")
     adj = _adjacency(edges).persist()
     # Uniform fast path: with no weight column every alpha is the exact
     # literal 1.0, and with p == q == 1 the bias multiplier is 1 on every

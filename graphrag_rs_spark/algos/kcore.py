@@ -32,7 +32,10 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """
     if k < 1:
         raise ValueError("k must be ≥ 1")
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # distinct like every sibling graph operator (cc/hits/lpa/linkpred):
+    # duplicate edge rows would inflate degrees and keep sub-k nodes
+    # in the "core"
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")) \
         .agg(F.count(F.lit(1)).alias("degree"))
     for _ in range(max_rounds):

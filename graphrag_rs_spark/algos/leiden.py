@@ -161,7 +161,6 @@ def label_propagation(node_rows: DataFrame, edge_rows: DataFrame,
 
 
 def leiden_communities(
-    entities: DataFrame,
     triple_mentions: DataFrame,
     cc_labels: DataFrame,
     resolution: float = 1.0,
@@ -172,7 +171,9 @@ def leiden_communities(
     """Distributed driver: CC labels shard the graph; exact Leiden runs
     per component in one applyInPandas pass.
 
-    cc_labels: (node, component) from algos.cc.connected_components.
+    cc_labels: (node, component) from algos.cc.connected_components
+    (node membership comes from cc_labels alone — every canonical entity
+    has a CC label, so a separate entity list would be redundant).
     Returns (entity_id, level, community) with community ids globally
     unique as "{component}#{local_id}".
 

@@ -49,10 +49,15 @@ class CheckpointManager:
             return False
         ck = self.spark.read.parquet(self.ckpt_dir)
         n = ck.filter(
-            (F.col("stage") == stage)
+            (F.col("run_id") == self.run_id)
+            & (F.col("stage") == stage)
             & (F.col("partition_id") == -1)
             & (F.col("status") == "committed")
         ).count()
+        # run_id scopes the resume decision: a NEW run sharing a workdir
+        # must not silently adopt another run's committed outputs (built
+        # from different inputs/config); resuming a killed run uses the
+        # SAME run_id and still skips its committed stages
         return n > 0 and os.path.exists(self._stage_dir(stage))
 
     def load(self, stage: str) -> DataFrame:

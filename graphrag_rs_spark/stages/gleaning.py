@@ -190,7 +190,13 @@ def _glean_round(
                 out["description"].append(kw.get("description", ""))
                 out["src"].append(kw.get("src", ""))
                 out["tgt"].append(kw.get("tgt", ""))
-                out["strength"].append(float(kw.get("strength", 0.0)))
+                # never raises on a malformed response (module contract):
+                # null / non-numeric strength degrades to the default
+                # instead of killing the whole extraction task
+                try:
+                    out["strength"].append(float(kw.get("strength", 0.0)))
+                except (TypeError, ValueError):
+                    out["strength"].append(0.5)
 
             for i, resp in zip(todo, responses):
                 cid, already = ids[i], {f.lower() for f in founds[i]}
@@ -294,10 +300,13 @@ def gleaning_extract(
                 F.col("w.entity_type").alias("entity_type"),
                 F.col("w.description").alias("description"))
     )
+    # Unicode classes, not [^a-z0-9], so the SQL id agrees with
+    # entity_id_for/_normalize_name (Python isalnum and the reference's
+    # char::is_alphanumeric are Unicode-aware — 'Café' must keep the é)
     id_expr = F.concat_ws(
         "_", "entity_type",
         F.array_join(F.split(F.trim(F.regexp_replace(
-            F.lower("name"), "[^a-z0-9_]+", " ")), " +"), "_"))
+            F.lower("name"), r"[^\p{L}\p{N}_]+", " ")), " +"), "_"))
     entities = merged.select(
         "chunk_id", id_expr.alias("entity_id"), "name", "entity_type",
         "description", F.lit(0.9).alias("confidence"), "name_key",
@@ -323,6 +332,13 @@ def gleaning_extract(
                     spans = _find_spans(text, name)
                     conf = 0.9
                     if not spans:
+                        # offsets measured in text.lower() — a quirk the
+                        # REFERENCE shares verbatim (gleaning_extractor
+                        # .rs:356-370 searches text_lower and records
+                        # those positions); for the rare characters whose
+                        # lowercase changes string length ('İ') both
+                        # engines skew identically, which is the parity
+                        # contract here
                         spans = _find_spans(text.lower(), name.lower())
                         conf = 0.85
                     for s in spans:

@@ -22,10 +22,15 @@ def canonical_entities(entities: DataFrame, canonical: DataFrame) -> DataFrame:
         entities.join(canonical, "entity_id")
         .groupBy("canonical_id")
         .agg(
-            # the canonical member's name wins; (confidence, name) tie-breaks
+            # the canonical member's name wins; (confidence, name) tie-breaks.
+            # entity_type comes from the SAME winning member (F.first is
+            # partition-order-nondeterministic and could pair the winner's
+            # name with an alias's type when a component mixes types)
             F.max_by("name", F.struct(is_canon.alias("c"), "confidence",
                                       "name")).alias("name"),
-            F.first("entity_type").alias("entity_type"),
+            F.max_by("entity_type",
+                     F.struct(is_canon.alias("c"), "confidence",
+                              "name")).alias("entity_type"),
             F.max("confidence").alias("confidence"),
             F.sum("mention_count").alias("mention_count"),
             F.sort_array(F.collect_set("name")).alias("aliases"),
@@ -70,7 +75,6 @@ def hierarchical_communities(entities: DataFrame, triples: DataFrame,
     cc_labels = level0.select(F.col("entity_id").alias("node"),
                               F.col("community").alias("component"))
     level1 = leiden_communities(
-        entities.select(F.col("entity_id")),
         triples, cc_labels, resolution=resolution, level=1)
     return level0.unionByName(level1)
 

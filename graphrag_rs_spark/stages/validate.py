@@ -145,8 +145,13 @@ def pipeline_validation_report(
            .crossJoin(orphans).crossJoin(rel_agg).crossJoin(counts))
 
     ne, nr, nc, nd = F.col("ne"), F.col("nr"), F.col("nc"), F.col("nd")
-    epc = ne.cast("double") / nc
-    conn = nr.cast("double") / ne
+    # try_divide, not '/': ANSI mode (Spark 4 default) throws
+    # DIVIDE_BY_ZERO on exactly the empty-table states these checks are
+    # designed to REPORT.  NULL ratios feed ORs whose other disjunct is
+    # true precisely when the denominator is 0 (nc==0 / ne<=1), so the
+    # pass flags stay well-defined and the metric rows carry NULL.
+    epc = F.try_divide(ne.cast("double"), nc)
+    conn = F.try_divide(nr.cast("double"), ne)
     # Per-phase pass flags (pipeline_validation.rs:143,268,378,475).
     ent_ok = ((ne > 0) & (F.col("e_badc") == 0) & (F.col("e_notype") == 0)
               & (F.col("e_noname") == 0) & (F.col("m_bad") == 0))
@@ -180,9 +185,9 @@ def pipeline_validation_report(
          F.col("m_bad") == 0, F.col("m_bad")),
         ("entity", "entities_count", "metric", None, ne),
         ("entity", "avg_confidence", "metric", None,
-         F.col("e_csum") / ne),
+         F.try_divide(F.col("e_csum"), ne)),
         ("entity", "avg_mentions_per_entity", "metric", None,
-         F.col("nm").cast("double") / ne),
+         F.try_divide(F.col("nm").cast("double"), ne)),
         ("relationship", "relationships_extracted", "check", nr > 0, nr),
         ("relationship", "relationship_confidence_valid", "check",
          F.col("r_badc") == 0, F.col("r_badc")),
@@ -194,7 +199,7 @@ def pipeline_validation_report(
         ("relationship", "relationships_per_entity", "metric", None,
          conn),
         ("relationship", "avg_relationship_confidence", "metric", None,
-         F.col("r_csum") / nr),
+         F.try_divide(F.col("r_csum"), nr)),
         ("graph", "graph_not_empty", "check", (ne > 0) | (nd > 0),
          ne + nd),
         ("graph", "entity_chunk_ratio_reasonable", "check",

@@ -61,7 +61,7 @@ def test_spark_leiden_per_component(spark):
     cc = connected_components(
         flat.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
         nodes=entities.select(F.col("entity_id").alias("node")))
-    out = leiden_communities(entities, flat, cc)
+    out = leiden_communities(flat, cc)
     part = {r["entity_id"]: r["community"] for r in out.collect()}
     assert len(part) == len(nodes)
     assert len({part[n] for n in n1}) == 1
@@ -107,7 +107,7 @@ def test_giant_component_falls_back_to_lpa(spark):
     cc = connected_components(
         flat.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
         nodes=entities.select(F.col("entity_id").alias("node")))
-    out = leiden_communities(entities, flat, cc, max_component_edges=10,
+    out = leiden_communities(flat, cc, max_component_edges=10,
                              lpa_iterations=5)
     part = {r["entity_id"]: r["community"] for r in out.collect()}
     assert len(part) == len(nodes)                     # full coverage
@@ -117,6 +117,6 @@ def test_giant_component_falls_back_to_lpa(spark):
     assert len({part[n] for n in n2}) == 1             # small stays exact
     assert "#lpa:" not in part["s0"]
     # determinism of the fallback
-    out2 = leiden_communities(entities, flat, cc, max_component_edges=10,
+    out2 = leiden_communities(flat, cc, max_component_edges=10,
                               lpa_iterations=5)
     assert part == {r["entity_id"]: r["community"] for r in out2.collect()}

@@ -116,3 +116,21 @@ def test_graph_connectivity_check(spark):
     assert r[("relationship", "relationships_extracted")].passed == 0
     assert r[("graph", "graph_connectivity")].passed == 0
     assert r[("pipeline", "graph_phase")].passed == 0
+
+
+def test_report_on_empty_tables_reports_failures_not_crash(spark):
+    # ANSI divide-by-zero regression: empty entity/relationship tables
+    # must yield failed checks, not a SparkArithmeticException
+    from graphrag_rs_spark.stages.validate import pipeline_validation_report
+    docs = spark.createDataFrame([("d1", "text")], "doc_id string, text string")
+    chunks = spark.createDataFrame([], "doc_id string, chunk_id string")
+    entities = spark.createDataFrame(
+        [], "entity_id string, name string, entity_type string, confidence double")
+    mentions = spark.createDataFrame([], "entity_id string, chunk_id string")
+    rels = spark.createDataFrame(
+        [], "source string, target string, relation_type string, confidence double")
+    rows = {(r.phase, r.item): r for r in pipeline_validation_report(
+        docs, chunks, entities, mentions, rels).collect()}
+    assert rows[("entity", "entities_extracted")].passed == 0
+    assert rows[("relationship", "relationships_extracted")].passed == 0
+    assert rows[("graph", "graph_not_empty")].passed == 1   # nd > 0
