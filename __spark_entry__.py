@@ -2263,7 +2263,7 @@ def _tree_query_sql(query: str, max_results: int = 50, fanout: int = 4,
     ctes.append(f"""
         k0w as (select doc_id, node_idx, w, count(*) as c from (
             select doc_id, node_idx,
-                   unnest(list_filter(string_split(lower(summary), ' '),
+                   unnest(list_filter(string_split_regex(lower(summary), '\\s+'),
                           x -> length(x) > 3
                                and not list_contains({stop}, x))) as w
             from l0) group by doc_id, node_idx, w)""")
@@ -2312,7 +2312,7 @@ def _tree_query_sql(query: str, max_results: int = 50, fanout: int = 4,
                                   * 2.0::DOUBLE
                                 + 0.5::DOUBLE / (level + 1), 6) as score
                    from (select *, list_filter(
-                           string_split(node_text, ' '),
+                           string_split_regex(node_text, '\\s+'),
                            x -> x <> '') as node_words from nodes))""")
     # Every l{i} is referenced by l{i+1}, k{i} AND the final union —
     # without MATERIALIZED DuckDB inlines the whole chain once per
@@ -5783,8 +5783,8 @@ def oracle_sql() -> dict[str, str]:
     _ce_base = f"""
         base as materialized (
           select doc_id as id,
-                 list_filter(string_split(text, ' '), x -> x <> '')
-                   as toks,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') as toks,
                  (doc_id % 64)::DOUBLE / 64.0::DOUBLE as orig
           from documents),
         sc as materialized (
@@ -5932,10 +5932,10 @@ def oracle_sql() -> dict[str, str]:
           select id,
             (case when lower(trim(gen)) = lower(trim(gt))
              then 1 else 0 end)::INT as exact_match,
-            list_filter(string_split(lower(gen), ' '), x -> x <> '')
-              as gtoks,
-            list_filter(string_split(lower(gt), ' '), x -> x <> '')
-              as ttoks
+            list_filter(string_split_regex(lower(gen), '\\s+'),
+                        x -> x <> '') as gtoks,
+            list_filter(string_split_regex(lower(gt), '\\s+'),
+                        x -> x <> '') as ttoks
           from qabase),
         qc as materialized (
           select id, exact_match, gtoks, ttoks,

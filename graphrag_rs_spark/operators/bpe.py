@@ -188,7 +188,11 @@ def bpe_encode(
         F.split(F.expr("substring(sym, 2, length(sym) - 2)"), SEP)
         .alias("word_tokens"),
     )
-    joined = norm_words.join(F.broadcast(vocab), "word")
+    # no broadcast hint: the word→tokens dictionary is language-bounded
+    # but can reach millions of rows × a token array each — a forced
+    # broadcast (which AQE cannot undo) would OOM at that size, while
+    # AQE still broadcasts it automatically whenever it is small
+    joined = norm_words.join(vocab, "word")
     return (
         joined.groupBy("doc_id")
         .agg(

@@ -64,14 +64,16 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
     if broadcast_threshold > 0:
         # The size probe is one eager job on the SMALL side (so building
         # this DataFrame runs a Spark job — callers printing plans pay
-        # it once).  persist() makes the probe count and the join read
-        # ONE materialization instead of deriving the benchmark gram set
-        # twice; the cached relation is bounded by the eval-suite
-        # contract and ages out with the DataFrame.  A guaranteed
+        # it once).  The checkpoint makes the probe count and the join
+        # read ONE materialization instead of deriving the benchmark
+        # gram set twice.  A guaranteed
         # broadcast hint on an oversized relation would OOM the driver,
         # so the hint is applied only under the cap (an explicit hint
         # can't be undone by AQE).
-        bench_grams = bench_grams.persist()
+        # localCheckpoint, not persist: a per-call persist is never
+        # unpersisted (leaked CacheManager entry); checkpoint storage is
+        # freed by the ContextCleaner once the plan drops out of scope
+        bench_grams = bench_grams.localCheckpoint(eager=True)
         if bench_grams.count() <= broadcast_threshold:
             bench_grams = F.broadcast(bench_grams)
 

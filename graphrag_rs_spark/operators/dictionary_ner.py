@@ -64,6 +64,14 @@ def dictionary_ner(
     lex = F.broadcast(lexicon.select(
         F.expr(_NORM.format(c="phrase")).alias("gram"),
         F.col("entity_type")))
+    # fail fast on phrases the n-gram stream can never produce — a
+    # lexicon entry longer than max_words would otherwise just silently
+    # never match (one tiny job over the dictionary-sized dim)
+    longest = lex.agg(F.max(F.size(F.split("gram", " ")))).first()[0]
+    if longest is not None and longest > max_words:
+        raise ValueError(
+            f"lexicon contains a {longest}-word phrase but max_words="
+            f"{max_words}; raise max_words so every phrase can match")
     grams = _ngram_stream(docs, id_col, text_col, max_words)
     return (
         grams.join(lex, "gram")

@@ -34,8 +34,10 @@ def qa_quality(
     """→ (id, exact_match, f1) per pair — benchmark.rs:322-380."""
     gen, gt = F.col(generated_col), F.col(truth_col)
     em = (F.lower(F.trim(gen)) == F.lower(F.trim(gt))).cast("int")
-    gtoks = F.filter(F.split(F.lower(gen), " "), lambda x: x != "")
-    ttoks = F.filter(F.split(F.lower(gt), " "), lambda x: x != "")
+    # \s+ (benchmark.rs split_whitespace parity): multi-line generated
+    # answers — the normal LLM output shape — must tokenize correctly
+    gtoks = F.filter(F.split(F.lower(gen), r"\s+"), lambda x: x != "")
+    ttoks = F.filter(F.split(F.lower(gt), r"\s+"), lambda x: x != "")
     common = F.size(F.filter(gtoks,
                              lambda t: F.array_contains(ttoks, t)))
     p = common.cast("double") / F.size(gtoks)

@@ -74,7 +74,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
+    # so one all-zero embedding would abort every caller's whole job;
+    # similarity to the zero vector is 0 by convention (the contract
+    # quantize_embeddings already documents)
+    d = _norm(a) * _norm(b)
+    return F.when(d == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / d)
 
 
 def cosine_topk(

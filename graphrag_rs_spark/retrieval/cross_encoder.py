@@ -47,7 +47,10 @@ def cross_encoder_rerank(
     :154-205 batched; deterministic (relevance desc, id asc) top-k."""
     qset = sorted(set(query.split()))
     qarr = F.array(*[F.lit(w) for w in qset])
-    toks = F.filter(F.split(F.col(content_col), " "), lambda x: x != "")
+    # \s+ (split_whitespace parity, module contract) — a literal-space
+    # split under-scored any multi-line/tab-containing candidate
+    toks = F.filter(F.split(F.col(content_col), r"\s+"),
+                    lambda x: x != "")
     dset = F.array_distinct(toks)
     inter = F.size(F.array_intersect(dset, qarr))
     union = F.lit(len(qset)) + F.size(dset) - inter

@@ -54,9 +54,11 @@ def split_keywords(
 def _ranked(corpus: DataFrame, terms: list[str], level: str,
             id_col: str, text_col: str, top_k: int) -> DataFrame:
     scored = bm25_scores(corpus, terms, id_col, text_col, top_k=top_k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    # bm25_scores NORMALIZES its id column to 'doc_id' regardless of
+    # id_col — selecting F.col(id_col) here failed for any other name
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.select(
-        F.col(id_col).alias("id"), "score",
+        F.col("doc_id").alias("id"), "score",
         F.lit(level).alias("level"),
         F.row_number().over(w).alias("lvl_rank"))
 

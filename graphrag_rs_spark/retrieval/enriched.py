@@ -83,7 +83,10 @@ def enriched_metadata_search(
         return F.coalesce(F.lower(F.col(field)).contains(r),
                           F.lit(False))
 
-    pairs = qdf.crossJoin(cdf)
+    # explicit hint: the docstring's scale contract is that the (small)
+    # query frame broadcasts — without it a stats-less query lineage can
+    # plan a CartesianProduct that reshuffles the chunk table
+    pairs = F.broadcast(qdf).crossJoin(cdf)
     kw_matches = F.size(F.filter(
         F.col("keywords"),
         lambda k: F.array_contains(F.col("qw"), F.lower(k))))

@@ -60,22 +60,31 @@ def mmr_select(rows: list[tuple], k: int, lam: float) -> list[tuple]:
     selected set is 0.0, so the formula is uniform across picks)."""
     mu = round(1.0 - lam, 12)
     remaining = list(rows)
-    selected: list[tuple] = []
     out: list[tuple] = []
+    # incremental running max-sim per candidate: each pick costs one
+    # cosine per remaining candidate (vs the newly selected vector)
+    # instead of re-scanning the whole selected set — O(k·n·dim) total,
+    # identical values (max is associative).  None = empty selected set
+    # (scores as 0.0); a true max can be negative, so 0.0 is not a
+    # valid init once anything is selected.
+    maxsim: dict = {cid: None for (cid, _, _) in rows}
+    last_vec = None
     for pick in range(1, min(k, len(rows)) + 1):
+        if last_vec is not None:
+            for (cid, _, vec) in remaining:
+                s = _cos6(vec, last_vec)
+                if maxsim[cid] is None or s > maxsim[cid]:
+                    maxsim[cid] = s
         best = None
         for (cid, rel, vec) in remaining:
-            # true max over the selected set (can be negative — standard
-            # MMR does not clamp); empty set on the first pick → 0.0
-            maxsim = max((_cos6(vec, svec) for (_, _, svec) in selected),
-                         default=0.0)
-            score = round(lam * rel - mu * maxsim, 6)
+            ms = maxsim[cid] if maxsim[cid] is not None else 0.0
+            score = round(lam * rel - mu * ms, 6)
             # argmax with id-asc tie-break
             if best is None or score > best[1] or \
                     (score == best[1] and cid < best[0][0]):
                 best = ((cid, rel, vec), score)
         out.append((best[0][0], pick, best[1]))
-        selected.append(best[0])
+        last_vec = best[0][2]
         remaining = [r for r in remaining if r[0] != best[0][0]]
     return out
 

@@ -136,7 +136,7 @@ def extract_keywords_py(text: str, k: int = 5) -> list[str]:
 def _extract_keywords_col(text, k: int = 5):
     stop = F.array(*[F.lit(s) for s in TREE_STOP_WORDS])
     ws = F.filter(
-        F.split(F.lower(text), " "),
+        F.split(F.lower(text), r"\s+"),   # any whitespace, like .split()
         lambda w: (F.length(w) > 3) & ~F.array_contains(stop, w))
     scored = F.transform(
         F.array_distinct(ws),
@@ -190,7 +190,8 @@ def tree_query(
             F.col("keywords"), F.array().cast("array<string>")))
     node_text = F.lower(F.concat_ws(
         " ", F.col("summary"), F.array_join(F.col("keywords"), " ")))
-    node_words = F.filter(F.split(node_text, " "), lambda w: w != "")
+    node_words = F.filter(F.split(node_text, r"\s+"),
+                          lambda w: w != "")
     kw_hits = sum(
         (F.when(node_text.contains(kw), 1).otherwise(0) for kw in qk),
         F.lit(0))
