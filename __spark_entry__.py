@@ -4791,8 +4791,7 @@ def oracle_sql() -> dict[str, str]:
                                            x -> x <> '')) as w1,
                  list_distinct(list_filter(string_split(lname, ' '),
                                            x -> x <> '')) as w2,
-                 list_filter(string_split(lq, ' '), x -> x <> '') as wl1,
-                 list_filter(string_split(ltype, ' '), x -> x <> '') as wlt
+                 list_filter(string_split(lq, ' '), x -> x <> '') as wl1
               from base),
         s as (select *,
                  len(list_intersect(w1, w2))::DOUBLE as inter,
@@ -4808,10 +4807,11 @@ def oracle_sql() -> dict[str, str]:
                  + (case when maxlen = 0 then 1.0
                          else 1.0 - levenshtein(lq, lname)::DOUBLE/maxlen
                     end) * 0.2 as name_sim,
-                 (case when least(len(wl1), len(wlt)) = 0 then 0.0
-                       else len(list_intersect(list_distinct(wl1),
-                                               list_distinct(wlt)))::DOUBLE
-                            / least(len(wl1), len(wlt)) end) as type_sim
+                 -- word_overlap(query_words, [whole type string]):
+                 -- 1.0 iff some query word equals the full type
+                 (case when len(wl1) = 0 then 0.0
+                       when list_contains(list_distinct(wl1), ltype)
+                         then 1.0 else 0.0 end) as type_sim
                 from s),
         cand as (
           select entity_id as id,
@@ -4825,7 +4825,7 @@ def oracle_sql() -> dict[str, str]:
           union all
           select 'type_' || entity_id, name || ' (' || entity_type || ')',
                  type_sim * 0.7, 'SemanticEntity'
-          from sim where type_sim > 0.0)
+          from sim where lname <> lq and type_sim > 0.0)
         select id, content, round(similarity, 6) as similarity, match_type
         from cand order by similarity desc, id asc limit 25
     """

@@ -95,10 +95,13 @@ def decompose(query: str) -> DecompositionResult:
     """decomposer.rs:585-622."""
     clauses = extract_clauses(query)
     if len(clauses) <= 1:
+        # DecompositionResult::single_query (decomposer.rs:716-729):
+        # id "single", type Entity, confidence 1.0 — the original query
+        # is preserved intact, so the result is fully confident
         return DecompositionResult(original_query=query, subqueries=[
-            Subquery(id="syn_0", text=query,
-                     query_type=classify_clause_type(query), priority=1.0)],
-            confidence=0.3)
+            Subquery(id="single", text=query,
+                     query_type="Entity", priority=1.0)],
+            confidence=1.0)
     subqueries = [
         Subquery(id=f"syn_{i}", text=c, query_type=classify_clause_type(c),
                  priority=round(1.0 - i * 0.1, 6))

@@ -81,7 +81,14 @@ def match_entities(
     """→ (id, content, similarity, match_type) candidate rows, unranked."""
     q = F.lit(query)
     name_sim = text_similarity(q, F.col("name"))
-    type_sim = word_overlap(q, F.col("entity_type"))
+    # type match is calculate_word_overlap(query_words, &[type]) — the
+    # reference passes the WHOLE lowered type string as the single
+    # words2 element (fuzzy_matcher.rs:412), so the score is 1.0 iff
+    # some query word equals the full type, never a per-word split
+    qw = _words(F.lower(q))
+    type_sim = F.when(F.size(qw) == 0, 0.0).otherwise(
+        F.array_contains(qw, F.lower(F.col("entity_type")))
+        .cast("double"))
     content = F.concat("name", F.lit(" ("), "entity_type", F.lit(")"))
     exact = entities.filter(F.lower(F.col("name")) == F.lower(q)).select(
         F.col("entity_id").alias("id"), content.alias("content"),
@@ -94,7 +101,11 @@ def match_entities(
         F.col("entity_id").alias("id"), content.alias("content"),
         F.round(name_sim * 0.9, ROUND_DP).alias("similarity"),
         F.lit("PartialEntity").alias("match_type"))
-    typed = entities.filter(type_sim > 0.0).select(
+    # exact-matched entities emit ONLY their ExactEntity row — the
+    # reference `continue`s past partial and type matching after an
+    # exact hit (fuzzy_matcher.rs:394)
+    typed = entities.filter(
+        (F.lower(F.col("name")) != F.lower(q)) & (type_sim > 0.0)).select(
         F.concat(F.lit("type_"), "entity_id").alias("id"),
         content.alias("content"),
         F.round(type_sim * 0.7, ROUND_DP).alias("similarity"),
@@ -108,7 +119,13 @@ def match_chunks(
     threshold: float = SIM_THRESHOLD,
     preview_len: int = 200,
 ) -> DataFrame:
-    """→ chunk-content candidate rows (fuzzy_matcher.rs:429-470)."""
+    """→ chunk-content candidate rows (fuzzy_matcher.rs:429-470).
+
+    Documented divergence: `content` is the chunk's FIRST preview_len
+    chars; the reference's create_content_preview (:745) returns the
+    200-char window containing the most query words.  Ranking and ids
+    are unaffected (similarity never reads the preview) — only the
+    human-facing snippet differs for long chunks."""
     q = F.lit(query)
     content_sim = text_similarity(q, F.col("content"))
     overlap = word_overlap(q, F.col("content"))

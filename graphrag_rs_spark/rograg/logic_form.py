@@ -51,7 +51,9 @@ PATTERNS: list[tuple[str, str, bool]] = [
      r"(?:\s+(?:on|in terms of) (.+))?\??", True),
 ]
 
-NO_REL = "No direct relationship found between {a} and {b}"
+# the no-relationship fallback message (logic_form.rs:668) is built
+# inline in rel_b from concat literals; keep it there — a parallel
+# template constant would silently drift on edit
 
 
 def parse_logic_form(queries: DataFrame, id_col: str = "query_id",

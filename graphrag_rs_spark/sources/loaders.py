@@ -65,8 +65,11 @@ def strip_html(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?is)<br\s*/?>|</p>|</div>|</h[1-6]>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+    # &amp; decodes LAST: decoding it first would turn escaped entities
+    # ('&amp;lt;' — the author writing '&lt;' as text) into '&lt;' and
+    # then fabricate '<' markup via the later replacements
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"[ \t]+", " ")
     return F.trim(F.regexp_replace(c, r"\s*\n\s*", "\n"))
@@ -130,14 +133,30 @@ def import_table(
         raise ValueError(f"unsupported import format {fmt!r}")
 
     m = mappings
+    # _ord pins "first occurrence in file order": partition index rides
+    # the high bits of monotonically_increasing_id and file scans split
+    # in order, so min_by(_ord) is the first row of the file — a bare
+    # dropDuplicates keeps whichever row the plan touches first, which
+    # can differ run-to-run
+    ordered = df.withColumn("_ord", F.monotonically_increasing_id())
     entities = (
-        df.select(
+        ordered.select(
             F.col(m.entity_id).cast("string").alias("entity_id"),
             F.col(m.entity_name).cast("string").alias("name"),
             F.col(m.entity_type).cast("string").alias("entity_type"),
+            "_ord",
         )
-        .filter(F.col("entity_id").isNotNull())
-        .dropDuplicates(["entity_id"])
+        # the reference skips a row unless id, name AND type are all
+        # non-empty (data_import.rs:266)
+        .filter((F.col("entity_id").isNotNull()
+                 & (F.col("entity_id") != ""))
+                & (F.col("name").isNotNull() & (F.col("name") != ""))
+                & (F.col("entity_type").isNotNull()
+                   & (F.col("entity_type") != "")))
+        .groupBy("entity_id")
+        .agg(F.min_by(F.struct("name", "entity_type"), "_ord").alias("_w"))
+        .select("entity_id", F.col("_w.name").alias("name"),
+                F.col("_w.entity_type").alias("entity_type"))
     )
     relationships = None
     if m.relationship_source and m.relationship_target:

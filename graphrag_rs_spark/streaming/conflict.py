@@ -157,7 +157,14 @@ def resolve_relationship_conflicts(
     per edge first (highest confidence takes pred — pred desc breaks
     exact ties deterministically; contexts union), which is the same
     associative merge the strategy itself applies, so fold-then-resolve
-    equals resolve-pairwise in any order.
+    equals resolve-pairwise in any order — when confidences differ.
+    EXACT-confidence ties are the one caveat: pairwise merge keeps the
+    EXISTING pred (reference semantics — new wins only on strictly
+    higher confidence, conflict.rs:203-227), which is order-dependent by
+    definition, while the fold's pred-desc tie-break is order-free; the
+    two can disagree on which equal-confidence pred survives.  The
+    reference pins the pairwise rule, so the divergence is inherent to
+    compacting it associatively, not fixable here.
     """
     existing = _fold_edges(existing)
     incoming = _fold_edges(incoming)

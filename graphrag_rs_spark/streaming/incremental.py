@@ -51,8 +51,14 @@ def process_increment(
     counts = {}
     for name, df in (("chunks", chunks), ("entities", entities),
                      ("mentions", mentions), ("triple_mentions", flat)):
-        df.write.mode("append").parquet(os.path.join(out_dir, name))
-        counts[name] = df.count()
+        from pyspark.sql import Observation
+        path = os.path.join(out_dir, name)
+        obs = Observation(f"_inc_{name}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        observed.write.mode("append").parquet(path)
+        # count from the write's own observation — df.count() here would
+        # re-run each table's aggregation a second time per micro-batch
+        counts[name] = int(obs.get["n"])
     chunks.unpersist()
     bundles.unpersist()
     return counts

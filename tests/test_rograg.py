@@ -11,9 +11,13 @@ from graphrag_rs_spark.rograg.fuzzy_matcher import match_query, match_chunks
 # ------------------------------------------------------------ decomposer
 
 def test_single_clause_passthrough():
+    # DecompositionResult::single_query (decomposer.rs:716-729):
+    # original query preserved intact -> id "single", Entity, conf 1.0
     r = decomposer.decompose("tell me everything")
     assert not r.is_decomposed
-    assert r.confidence == 0.3
+    assert r.confidence == 1.0
+    assert r.subqueries[0].id == "single"
+    assert r.subqueries[0].query_type == "Entity"
     assert r.subqueries[0].text == "tell me everything"
 
 
