@@ -167,7 +167,8 @@ def _run_child(argv: list[str], attempts: int = 2) -> str:
         if proc.returncode == 0 and lines:
             return lines[-1]
         last_err = (proc.stderr or "")[-2000:]
-        time.sleep(10 * (attempt + 1))   # let transient pressure drain
+        if attempt < attempts - 1:
+            time.sleep(10 * (attempt + 1))   # let transient pressure drain
     raise RuntimeError(f"benchmark child failed twice; last stderr:\n{last_err}")
 
 

@@ -15,6 +15,7 @@ No external data; everything derives from the seed.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 
 FIRST_NAMES = ["John", "Alice", "Robert", "Maria", "David", "Sarah", "Tom",
@@ -141,7 +142,13 @@ def write_parquet(path: str, n_convs: int, seed: int = 42,
     cols = {k: [r[k] for r in rows] for k in
             ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     table = pa.Table.from_pydict(cols, schema=arrow_schema())
-    pq.write_table(table, path, compression="snappy")
+    # atomic publish: the ensure_* callers gate on os.path.exists, so a
+    # writer killed mid-write (bench children DO get OOM-killed) must
+    # not leave a truncated file at the final path — every later run
+    # would "see" the cache and fail reading it
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, path)
     return len(rows)
 
 

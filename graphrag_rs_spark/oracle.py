@@ -20,6 +20,8 @@ Pipeline parity map (reference files relative to /root/reference/):
 
 from __future__ import annotations
 
+import re
+
 from collections import defaultdict
 from dataclasses import dataclass, field
 
@@ -52,7 +54,10 @@ def assemble_documents(rows: list[dict]) -> list[dict]:
         by_conv[r["conv_id"]].append((int(r["turn_idx"]), r["text"]))
     docs = []
     for conv_id in sorted(by_conv):
-        turns = sorted(by_conv[conv_id], key=lambda t: t[0])
+        # (turn_idx, text) — Spark's sort_array(struct(turn_idx, text))
+        # tie-breaks duplicate turn_idx rows by text; a bare stable sort
+        # on turn_idx would keep input order and diverge on such rows
+        turns = sorted(by_conv[conv_id], key=lambda t: (t[0], t[1]))
         content = "\n".join(t[1] for t in turns)
         offsets = []
         pos = 0
@@ -163,9 +168,16 @@ def run_oracle_pipeline(
     entity_acc: dict[str, dict] = {}
     triple_acc: dict[tuple[str, str, str], dict] = {}
 
+    splitter = (rl.hierarchical_chunk_text
+                if cfg.chunking_strategy == "hierarchical"
+                else rl.chunk_text)   # same dispatch as stages/chunking
+    inc_re = re.compile(cfg.include_name_pattern) \
+        if cfg.include_name_pattern else None
+    exc_res = [re.compile(p) for p in cfg.exclude_name_patterns]
+
     for doc in res.documents:
         doc_id, content = doc["doc_id"], doc["content"]
-        for ch in rl.chunk_text(content, cfg.chunk_size, cfg.chunk_overlap):
+        for ch in splitter(content, cfg.chunk_size, cfg.chunk_overlap):
             chunk_id = f"{doc_id}_{ch.seq}"
             res.chunks.append({
                 "chunk_id": chunk_id, "doc_id": doc_id, "content": ch.content,
@@ -173,6 +185,16 @@ def run_oracle_pipeline(
             })
             extracted = rl.extract_from_chunk(
                 ch.content, cfg.entity_types, cfg.min_confidence)
+            # E6 allow/exclude name filters, mirroring the Spark array
+            # filter (extraction.py) so entities/mentions/pairs all see
+            # the same view.  Dialect caveat: Python `re` here vs Java
+            # rlike there — keep patterns to the shared subset.
+            if inc_re is not None:
+                extracted = [e for e in extracted
+                             if inc_re.search(e.name)]
+            if exc_res:
+                extracted = [e for e in extracted
+                             if not any(x.search(e.name) for x in exc_res)]
             for e in extracted:
                 for m in e.mentions:
                     res.mentions.append({
@@ -196,8 +218,12 @@ def run_oracle_pipeline(
                         cur["name"] = e.name
                     if e.confidence > cur["confidence"]:
                         cur["confidence"] = e.confidence
-            if cfg.extract_relationships and len(extracted) >= 2:
-                for s, p, o in rl.extract_chunk_triples(extracted, ch.content):
+            # pair only entities with ≥1 verbatim mention in the chunk
+            # (reference lib.rs:545-556 filters its pair loop to
+            # mentioned entities); order preserved
+            pairable = [e for e in extracted if e.mentions]
+            if cfg.extract_relationships and len(pairable) >= 2:
+                for s, p, o in rl.extract_chunk_triples(pairable, ch.content):
                     key = (s, p, o)
                     cur = triple_acc.get(key)
                     if cur is None:

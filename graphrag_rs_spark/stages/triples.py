@@ -104,6 +104,13 @@ def emit_triple_mentions(
     is the single most expensive aggregate in the pipeline, so it must
     not run once before and once after canonicalization.
     """
+    # reference pair-loop filter (lib.rs:545-556): only entities with a
+    # verbatim mention in the chunk pair up.  Inputs without a mention
+    # column (e.g. dictionary-NER, where every entity is found by
+    # matching and so always mentioned) skip the filter.
+    if "mention_starts" in chunk_entities.columns:
+        chunk_entities = chunk_entities.filter(
+            F.size("mention_starts") > 0)
     ce = chunk_entities.select("chunk_id", "entity_id", "entity_type",
                                "first_offset")
     a = ce.alias("a")
@@ -147,12 +154,18 @@ def emit_triple_mentions_from_bundles(
     zero shuffles; semantics are row-identical (pinned by
     tests/test_spark_pipeline.py parity + golden counts).
     """
+    # pair only entities with ≥1 verbatim mention in the chunk — the
+    # reference filters its pair loop to entities mentioned in the
+    # chunk (lib.rs:545-556), so reconstructed names that never occur
+    # verbatim (zero mentions) are extracted but never paired
     slim = F.expr(
-        "transform(ents, e -> struct(e.entity_id as id, "
+        "transform(filter(ents, e -> size(e.mention_starts) > 0), "
+        "e -> struct(e.entity_id as id, "
         "e.entity_type as t, e.first_offset as o))")
     flags = list(_CONTEXT_KEYWORDS)
     d = bundles.where(F.size("ents") >= 2) \
-        .select("chunk_id", *flags, slim.alias("slim"))
+        .select("chunk_id", *flags, slim.alias("slim")) \
+        .where(F.size("slim") >= 2)
     p1 = d.select("chunk_id", *flags, "slim",
                   F.posexplode("slim").alias("i", "a"))
     p2 = (

@@ -20,7 +20,7 @@ def normalize(rows, cols):
     for r in rows:
         vals = []
         for c in cols:
-            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            v = r[c]   # both call sites pass dicts keyed by column name
             if isinstance(v, bool):
                 vals.append(str(v).lower())
             elif isinstance(v, float):

@@ -149,8 +149,9 @@ def main() -> int:
     # pieces are asserted separately: both generators sit above the
     # extractor in the tree, and both are posexplodes in the details.
     tree = p.split("(1) ")[0]
+    gen_i, map_i = tree.find("Generate"), tree.find("MapInPandas")
     check("bundle pairs: codegen generators",
-          tree.index("Generate") < tree.index("MapInPandas")
+          gen_i >= 0 and map_i >= 0 and gen_i < map_i
           and len(re.findall(r"\(\d+\) Generate", p)) == 2
           and p.count("posexplode(") >= 2,
           "expected two chained posexplode generators above the extractor")
