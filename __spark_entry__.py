@@ -450,8 +450,13 @@ def q_iter_deepening(spark, sf_dir):
         build_concept_graph, iterative_deepening)
     docs = _docs(spark, sf_dir)
     words = F.expr(_IDS_WORDS)
+    # one materialization of the (chunk, concept) stream: the graph
+    # build reads it twice (freq agg + pair self-join) and the loop
+    # joins it once per depth — uncached that is ~6 full doc-explode
+    # rescans
     cc = docs.select(F.col("doc_id").cast("long").alias("chunk_id"),
-                     F.explode(words).alias("concept"))
+                     F.explode(words).alias("concept")) \
+        .localCheckpoint(eager=True)
     concepts, relations = build_concept_graph(cc, min_cooccurrence=50)
     seeds = docs.select(F.col("doc_id").cast("long").alias("query_id"),
                         F.explode(F.slice(words, 1, 2)).alias("concept"))
