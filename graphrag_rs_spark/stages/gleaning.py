@@ -199,7 +199,7 @@ def _glean_round(
                     out["strength"].append(0.5)
 
             for i, resp in zip(todo, responses):
-                cid, already = ids[i], {f.lower() for f in founds[i]}
+                cid = ids[i]
                 ents, rels = parse_extraction_response(resp)
                 idx = 0
                 for e in ents:
@@ -214,13 +214,12 @@ def _glean_round(
                          description=str(r.get("description", "related")),
                          strength=r.get("strength", 0.5))
                     idx += 1
-                # reference stop rule: a continuation round that returns
-                # only already-known entities counts as "nothing new"
-                if not first_round and idx:
-                    new_names = {str(e["name"]).lower() for e in ents}
-                    if not (new_names - already) and not rels:
-                        for k in out:   # drop this chunk's rows
-                            del out[k][-idx:]
+                # reference stop rule (gleaning_extractor.rs:189-196):
+                # stop ONLY when a round returns literally nothing —
+                # a round re-emitting known entities is non-empty, its
+                # rows flow into the longest-description merge and the
+                # chunk keeps gleaning (llm_extractor.rs does not filter
+                # known names)
             if out["chunk_id"]:
                 yield pd.DataFrame(out)
 

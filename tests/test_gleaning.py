@@ -226,10 +226,13 @@ def test_adversarial_lm_never_breaks_the_loop(spark):
     # junk records filtered; good ones kept
     assert set(by_chunk["j1"]) == {"Carol", "Acme"}
     # duplicate re-emission across rounds dedups per (chunk, lower name),
-    # E9 keeps the LONGEST (= latest round's padded) description
+    # E9 keeps the LONGEST (= latest round's padded) description.  The
+    # reference stops only on a literally-empty round
+    # (gleaning_extractor.rs:189-196), so the known-entity re-emissions
+    # of rounds 4-5 are merged, not dropped — final pad is x*9
     assert set(by_chunk["s1"]) == {"Alice", "Bob", "Paris"}
-    assert by_chunk["s1"]["Alice"]["description"] == "Alice desc " + "x" * 6
-    assert by_chunk["s1"]["Bob"]["description"] == "Bob desc " + "x" * 6
+    assert by_chunk["s1"]["Alice"]["description"] == "Alice desc " + "x" * 9
+    assert by_chunk["s1"]["Bob"]["description"] == "Bob desc " + "x" * 9
     # one row per (chunk, name): no dup leakage
     keys = [(r["chunk_id"], r["name"].lower()) for r in e]
     assert len(keys) == len(set(keys))

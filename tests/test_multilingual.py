@@ -21,8 +21,15 @@ def test_model_contributions_are_exact_micro_ints():
     assert "the" in eng
     n_eng = sum(1 for lang, _, _ in MODEL_ROWS if lang == "english")
     assert n_eng > 50
-    assert total["english"] == round(
-        math.log(1.0 / (sum_total_english() + 1)) * 1e6)
+    # LITERAL goldens (hand-derived once from multilingual.rs:174,
+    # ln(1/(total+1))*1e6 with total = Σ(len(sentence)-2)): recomputing
+    # the module's own formula here would be a tautology that passes for
+    # any smoothing constant — these constants fail if the formula,
+    # training corpus, or micro-int scale drifts
+    assert total["english"] == -4356709
+    assert total["french"] == -4532599
+    assert total["spanish"] == -4820282
+    assert eng["the"] == -3245193
 
 
 def sum_total_english():

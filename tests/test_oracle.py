@@ -110,6 +110,22 @@ def test_chunking_total_coverage(text):
     assert chunks[-1].end >= len(text.rstrip())
     for ch in chunks:
         assert text[ch.start:ch.end] == ch.content
+    # TRUE invariants only (confirmed counterexamples exist for the
+    # stronger overlap/progress claims: an all-blank middle window is
+    # DROPPED by the strip guard, so consecutive kept chunks may have a
+    # blank-only gap; an overlap window can re-snap to the same sentence
+    # boundary, so b.end == a.end is reachable):
     for a, b in zip(chunks, chunks[1:]):
-        assert b.start < a.end + 1  # monotone, overlapping-or-adjacent
-        assert b.end > a.end        # forward progress
+        assert b.start > a.start        # strictly advancing starts
+        assert b.end >= a.end           # never regressing ends
+        # any gap between kept chunks is whitespace-only
+        if b.start > a.end:
+            assert text[a.end:b.start].strip() == ""
+    # every non-blank character of the input is covered by some chunk
+    covered = [False] * len(text)
+    for ch in chunks:
+        for i in range(ch.start, ch.end):
+            covered[i] = True
+    for i, c in enumerate(text):
+        if not c.isspace():
+            assert covered[i], i
