@@ -108,6 +108,12 @@ def iterative_deepening(
 
     cur = seeds.select("query_id", "concept").distinct() \
         .withColumn("added_depth", F.lit(0)).localCheckpoint(eager=True)
+    # visited is a UNION of per-depth checkpointed parts, rebuilt lazily
+    # each depth: re-checkpointing the growing union would re-serialize
+    # every earlier depth's rows at every depth (O(depth²) write
+    # amplification — the betweenness-loop lesson); the parts are each
+    # eagerly checkpointed, so unioning them is metadata-only
+    visited_parts: list[DataFrame] = []
     visited = None          # (query_id, chunk_id, depth_found)
     stopped = None          # (query_id, stop_reason, depth_reached)
     spark = seeds.sparkSession
@@ -130,8 +136,10 @@ def iterative_deepening(
                 ["query_id", "chunk_id"], "left_anti")
         # queries stopped earlier keep their visited set frozen
         new_chunks = not_stopped(new_chunks).localCheckpoint(eager=True)
-        visited = new_chunks if visited is None else \
-            visited.union(new_chunks).localCheckpoint(eager=True)
+        visited_parts.append(new_chunks)
+        visited = visited_parts[0]
+        for part in visited_parts[1:]:
+            visited = visited.union(part)
 
         stats = (not_stopped(visited.groupBy("query_id")
                              .agg(F.count(F.lit(1)).alias("tc")))
