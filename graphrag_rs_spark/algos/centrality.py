@@ -82,7 +82,10 @@ def brandes_forward(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # lazy union of checkpointed parts: re-checkpointing the
+        # growing union re-serializes every earlier level per depth
+        # (O(depth²) write amplification)
+        visited = visited.union(nxt)
         frontier = nxt
     e.unpersist()
     return visited

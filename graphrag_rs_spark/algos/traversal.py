@@ -47,7 +47,10 @@ def bfs_levels(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # lazy union of checkpointed parts: re-checkpointing the
+        # growing union re-serializes every earlier level per depth
+        # (O(depth²) write amplification)
+        visited = visited.union(nxt)
         frontier = nxt
     e.unpersist()
     return visited
@@ -127,7 +130,10 @@ def bfs_from_each(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # lazy union of checkpointed parts: re-checkpointing the
+        # growing union re-serializes every earlier level per depth
+        # (O(depth²) write amplification)
+        visited = visited.union(nxt)
         frontier = nxt
     e.unpersist()
     return visited
