@@ -1944,11 +1944,61 @@ def q_quality_classifier(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "kg_entities": q_kg_entities,
-        "kg_mentions": q_kg_mentions,
-        "kg_triples": q_kg_triples,
-        "kg_canonical_map": q_kg_canonical_map,
-        "kg_communities": q_kg_communities,
+        "sample_split": q_sample_split,
+        "top_growing": q_top_growing,
+        "length_quantiles": q_length_quantiles,
+        "skew_stats": q_skew_stats,
+        "range_band_join": q_range_band_join,
+        "pack_bins": q_pack_bins,
+        "scrub_pii": q_scrub_pii,
+        "asof_state": q_asof_state,
+        "corpus_relations": q_corpus_relations,
+        "doc_validation": q_doc_validation,
+        "graph_evolution": q_graph_evolution,
+        "rograg_query_valid": q_rograg_query_valid,
+        "token_budget": q_token_budget,
+        "bloom_probe": q_bloom_probe,
+        "rograg_validate": q_rograg_validate,
+        "community_reports": q_community_reports,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "kmv_distinct": q_kmv_distinct,
+        "node_churn": q_node_churn,
+        "temporal_centrality": q_temporal_centrality,
+        "rerank_stats": q_rerank_stats,
+        "corpus_stats": q_corpus_stats,
+        "qa_summary": q_qa_summary,
+        "quantize_emb": q_quantize_emb,
+        "quantized_knn": q_quantized_knn,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "mixture_plan": q_mixture_plan,
+        "mixture_real": q_mixture_real,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "dsir_select": q_dsir_select,
+        "source_stats": q_source_stats,
+        "md_sections": q_md_sections,
+        "corpus_entities": q_corpus_entities,
+        "qa_eval": q_qa_eval,
+        "cross_rerank": q_cross_rerank,
+        "query_rewrite": q_query_rewrite,
+        "contamination": q_contamination,
+        "html_sections": q_html_sections,
+        "lm_perplexity": q_lm_perplexity,
+        "noun_phrases": q_noun_phrases,
+        "repetition_stats": q_repetition_stats,
+        "curate": q_curate,
+        "meta_search": q_meta_search,
+        "kcore": q_kcore,
+        "syntax_deps": q_syntax_deps,
+        "kg_validation": q_kg_validation,
+        "link_prediction": q_link_prediction,
+        "logic_form": q_logic_form,
+        "quality_classifier": q_quality_classifier,
+        "dsir_weights": q_dsir_weights,
+        "tree_query": q_tree_query,
+        "lpa_communities": q_lpa,
+        "hits": q_hits,
+        "iter_deepening": q_iter_deepening,
         "reassembly_check": q_reassembly_check,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1994,73 +2044,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intent_classify": q_intent_classify,
         "pos_tag": q_pos_tag,
         "detect_language": q_detect_language,
-        "md_sections": q_md_sections,
-        "logic_form": q_logic_form,
-        "html_sections": q_html_sections,
-        "iter_deepening": q_iter_deepening,
-        "meta_search": q_meta_search,
-        "noun_phrases": q_noun_phrases,
-        "syntax_deps": q_syntax_deps,
-        "community_reports": q_community_reports,
         "concept_pairs": q_concept_pairs,
         "pagerank": q_pagerank,
         "pagerank_warm": q_pagerank_warm,
-        "hits": q_hits,
-        "lpa_communities": q_lpa,
         "hier_summary": q_hier_summary,
         "events_hourly": q_events_hourly,
-        "graph_evolution": q_graph_evolution,
-        "node_churn": q_node_churn,
-        "top_growing": q_top_growing,
-        "temporal_centrality": q_temporal_centrality,
         "sessions": q_sessions,
-        "asof_state": q_asof_state,
-        "range_band_join": q_range_band_join,
-        "kmv_distinct": q_kmv_distinct,
-        "kcore": q_kcore,
-        "skew_stats": q_skew_stats,
-        "link_prediction": q_link_prediction,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "bloom_probe": q_bloom_probe,
-        "length_quantiles": q_length_quantiles,
         "conflict_merge": q_conflict_merge,
         "sage_embeddings": q_sage_embeddings,
-        "node2vec": q_node2vec,
         "rograg_fuzzy": q_rograg_fuzzy,
-        "rograg_validate": q_rograg_validate,
-        "rograg_query_valid": q_rograg_query_valid,
-        "query_rewrite": q_query_rewrite,
-        "doc_validation": q_doc_validation,
-        "kg_validation": q_kg_validation,
-        "tree_query": q_tree_query,
-        "cross_rerank": q_cross_rerank,
-        "rerank_stats": q_rerank_stats,
-        "corpus_entities": q_corpus_entities,
-        "corpus_relations": q_corpus_relations,
-        "corpus_stats": q_corpus_stats,
-        "qa_eval": q_qa_eval,
-        "qa_summary": q_qa_summary,
-        "repetition_stats": q_repetition_stats,
-        "lm_perplexity": q_lm_perplexity,
-        "contamination": q_contamination,
-        "pack_bins": q_pack_bins,
-        "scrub_pii": q_scrub_pii,
-        "quantize_emb": q_quantize_emb,
-        "quantized_knn": q_quantized_knn,
-        "sample_split": q_sample_split,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
-        "source_stats": q_source_stats,
-        "token_budget": q_token_budget,
-        "curate": q_curate,
-        "mixture_plan": q_mixture_plan,
-        "mixture_real": q_mixture_real,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "quality_classifier": q_quality_classifier,
+        "kg_entities": q_kg_entities,
+        "kg_mentions": q_kg_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_canonical_map": q_kg_canonical_map,
+        "kg_communities": q_kg_communities,
+        "node2vec": q_node2vec,
     }
 
 
