@@ -379,6 +379,160 @@ def q_kg_sql_paths(spark, sf_dir):
     return out.select(F.concat_ws("->", "path").alias("path"), "n_nodes")
 
 
+# Deterministic entity-rich tails appended to each document (doc_id % 6)
+# so every E1 phase the oracle replays actually fires on the driver's
+# lowercase word-salad corpus: ORG suffix first-occurrence + space-rfind
+# quirk ("Acme Inc" names just "Inc"; glued "MegaCorp" keeps the word),
+# ORG prefix dot-scan + 50-char truncation, the Department-of 0.6 and
+# bare-"Ltd" 0.6 confidence rejections, the known-locations contains
+# scan, and PERSON phase-1 known-name greedy non-overlap ("Second
+# Entity Name" keeps only "Second Entity"; lowercase "entity name" pairs
+# match case-insensitively but find zero cased mentions).
+_KG_ENT_TAILS = [
+    "Acme Inc launched in New York with Entity Name present.",
+    "Globex Corporation and Initech LLC met in London. "
+    "Second Entity Name arrived.",
+    "University of Testing funded MegaCorp. "
+    "entity name entity name appeared in Tokyo.",
+    "Institute of Advanced Pattern Matching Experiments with no "
+    "terminator anywhere near Berlin calling Wayne Ltd",
+    "Department of Failure. Umbrella Corp relocated to California "
+    "and the United States.",
+    "Guardian Entity and Friend Entity visited Washington "
+    "Technologies Solutions Inc.",
+]
+
+
+def q_kg_sql_entities(spark, sf_dir):
+    """E1 extraction replay on the REAL code path: the same
+    stages/extraction.extract_chunk_entities mapInPandas (running
+    reference_logic.extract_from_chunk, entity/mod.rs:97-187) over the
+    documents corpus + deterministic entity-bait tails, restricted to
+    the SQL-expressible phases: ORGANIZATION suffix/prefix scans
+    (entity/mod.rs:516-580), LOCATION known-names contains scan
+    (:583-614), and PERSON phase-1 known multi-word names (:364-421 —
+    min_confidence=0.95 admits only the 0.95-confidence phase-1 hits;
+    phases 2-4 top out at 0.9 and cannot reach the final filter).
+    The oracle replays each phase with positional string arithmetic in
+    DuckDB, including per-chunk (name,type) dedup, find_mentions
+    non-overlap counting, and first-offset sentinels."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+
+    d = _docs(spark, sf_dir)
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _KG_ENT_TAILS]),
+        (F.col("doc_id") % len(_KG_ENT_TAILS)).cast("int") + 1)
+    chunks = d.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), tail).alias("content"))
+    cfg_ol = _dc_replace(DEFAULT_CONFIG,
+                         entity_types=("ORGANIZATION", "LOCATION"))
+    cfg_p = _dc_replace(DEFAULT_CONFIG, entity_types=("PERSON",),
+                        min_confidence=0.95)
+    out = extract_chunk_entities(chunks, cfg_ol) \
+        .unionByName(extract_chunk_entities(chunks, cfg_p))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "entity_id", "name", "entity_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.size("mention_starts").cast("bigint").alias("n_mentions"),
+        "first_offset")
+
+
+# Bait tails for the E1a-e replay (doc_id % 4): concept indicators +
+# capitalized->4-char branch, event/object dictionary scans, and the
+# FUNCTION/STRUCT code-pattern regexes (entity/mod.rs:140-169).
+_KG_ENT2_TAILS = [
+    "The Quantum Theory of merge discussed at the meeting "
+    "about a sword artifact.",
+    "fn compute_hash( and struct HashMap declared before the "
+    "conference treasure hunt.",
+    "A Paradigm shift and the Framework Model upgrade ceremony "
+    "with book and scroll.",
+    "pub fn render( uses async fn draw( while the battle journey "
+    "brings a crown tablet.",
+]
+
+
+def q_kg_sql_entities2(spark, sf_dir):
+    """E1a-e extraction replay on the REAL code path (same mapInPandas
+    as q_kg_sql_entities): CONCEPT per-word indicator + capitalized
+    branches (entity/mod.rs:928-992), EVENT/OBJECT dictionary scans
+    (:995-1067), and FUNCTION/STRUCT code-pattern regex captures
+    (:1071-1100).  min_confidence=0.6 admits every branch (0.6-0.95).
+    With q_kg_sql_entities this leaves only PERSON phases 2-4 (the
+    processed-index-order phases) outside SQL replay; those stay under
+    the P/R=1.0 parity gate."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+
+    d = _docs(spark, sf_dir)
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _KG_ENT2_TAILS]),
+        (F.col("doc_id") % len(_KG_ENT2_TAILS)).cast("int") + 1)
+    chunks = d.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), tail).alias("content"))
+    cfg = _dc_replace(DEFAULT_CONFIG,
+                      entity_types=("CONCEPT", "EVENT", "OBJECT",
+                                    "FUNCTION", "STRUCT"),
+                      min_confidence=0.6)
+    out = extract_chunk_entities(chunks, cfg)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "entity_id", "name", "entity_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.size("mention_starts").cast("bigint").alias("n_mentions"),
+        "first_offset")
+
+
+# Bait tails (doc_id % 5) for the inference replay: friendship,
+# negative, family and no-op pattern mixes so every scoring branch of
+# inference.rs:158-273 fires somewhere in the corpus.
+_INF_TAILS = [
+    "they were best friends and played together on a journey",
+    "the rival enemy fought a battle against everyone else",
+    "his brother and sister shared a close bond of trust",
+    "a loyal companion and trusted ally explored the adventure nearby",
+    "nothing notable was recorded in this plain segment",
+]
+_INF_TARGETS = ["PERSON_customer", "ORGANIZATION_spark", "LOCATION_window"]
+
+
+def q_inferred_relations(spark, sf_dir):
+    """Implicit-relationship engine (reference inference.rs:83-413) on
+    the REAL operator: dictionary-NER chunk entities + per-chunk
+    evidence scoring (base + proximity bucket + 25 friendship / 19
+    negative contextual patterns + family damping), normalized per
+    target, thresholded, top-10 per target.  The oracle replays the
+    identical engine-neutral score expression (operators/inference.py
+    evidence_score_sql) over the same DuckDB NER CTEs."""
+    from graphrag_rs_spark.operators.dictionary_ner import dictionary_ner
+    from graphrag_rs_spark.operators.inference import infer_relationships
+
+    d = _docs(spark, sf_dir)
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _INF_TAILS]),
+        (F.col("doc_id") % len(_INF_TAILS)).cast("int") + 1)
+    docs2 = d.select("doc_id",
+                     F.concat(F.col("text"), F.lit(" "), tail).alias("text"))
+    lex = spark.createDataFrame(_KG_SQL_LEXICON, ["phrase", "entity_type"])
+    ner = dictionary_ner(docs2, lex, max_words=3)
+    ce = ner.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.concat("entity_type", F.lit("_"),
+                 F.regexp_replace("name", " ", "_")).alias("entity_id"))
+    chunks = docs2.select(F.col("doc_id").cast("string").alias("chunk_id"),
+                          F.col("text").alias("content"))
+    return infer_relationships(chunks, ce, _INF_TARGETS,
+                               relation_type="FRIENDS")
+
+
 def q_bfs_reach(spark, sf_dir):
     """G6 multi-source BFS min-distances (traversal.rs:322-375) over the
     customer↔supplier graph, depth ≤ 3."""
@@ -1944,6 +2098,9 @@ def q_quality_classifier(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "kg_sql_entities": q_kg_sql_entities,
+        "kg_sql_entities2": q_kg_sql_entities2,
+        "inferred_relations": q_inferred_relations,
         "sample_split": q_sample_split,
         "top_growing": q_top_growing,
         "length_quantiles": q_length_quantiles,
@@ -2924,6 +3081,291 @@ def oracle_sql() -> dict[str, str]:
         select array_to_string(path, '->') as path,
                len(path)::INT as n_nodes
         from hits
+    """
+    # E1 extraction replay (see q_kg_sql_entities).  Phase-by-phase
+    # positional replay of entity/mod.rs:364-421 (PERSON known names),
+    # :516-580 (ORG suffix/prefix), :583-614 (LOCATION contains), the
+    # per-chunk (name,type) dedup (:798-819) and find_mentions
+    # non-overlap counting (:627-639 — replace() scans left-to-right
+    # non-overlapping exactly like the find loop).
+    from graphrag_rs_spark import reference_logic as _rl
+    _tails = ", ".join(f"'{t}'" for t in _KG_ENT_TAILS)
+    _locv = ", ".join(f"('{x}')" for x in _rl.KNOWN_LOCATIONS)
+    _sfxv = ", ".join(f"('{x}')" for x in _rl.ORG_SUFFIXES)
+    _pfxv = ", ".join(f"('{x}')" for x in _rl.ORG_PREFIXES)
+    _knv = ", ".join(
+        f"('{nm.split()[0].lower()}', '{nm.split()[1].lower()}', '{nm}')"
+        for nm, _wc in _rl.KNOWN_NAMES)
+    _ind = " or ".join(f"contains(name, '{i}')" for i in _rl.ORG_INDICATORS)
+    _org_conf = """least(0.5
+           + case when contains(name, 'Inc') or contains(name, 'Corp')
+                    or contains(name, 'LLC') then 0.3 else 0.0 end
+           + case when contains(name, 'University')
+                    or contains(name, 'Institute') then 0.2 else 0.0 end
+           + case when substr(name, 1, 1) between 'A' and 'Z'
+                  then 0.1 else 0.0 end, 1.0)"""
+    sql["kg_sql_entities"] = f"""
+        with t as (
+          select doc_id,
+                 text || ' ' || ([{_tails}])[(doc_id % 6)::INT + 1] as text
+          from documents),
+        locs as (
+          select t.doc_id, t.text, l.nm as name,
+                 'LOCATION' as entity_type, 0.9 as confidence
+          from t, (values {_locv}) l(nm)
+          where contains(t.text, l.nm)),
+        sfx0 as (
+          select t.doc_id, t.text,
+                 trim(substr(t.text, st.st, p.pos + length(s.sfx) - st.st),
+                      ' ' || chr(9) || chr(10) || chr(13)) as name
+          from t, (values {_sfxv}) s(sfx),
+          lateral (select strpos(t.text, s.sfx) as pos) p,
+          lateral (select case
+              when strpos(reverse(substr(t.text, 1, p.pos - 1)), ' ') = 0
+                then 1
+              else p.pos
+                   - strpos(reverse(substr(t.text, 1, p.pos - 1)), ' ') + 1
+            end as st) st
+          where p.pos > 0),
+        sfx as (
+          select doc_id, text, name, 'ORGANIZATION' as entity_type,
+                 {_org_conf} as confidence
+          from sfx0 where name <> '' and ({_ind})),
+        pfx0 as (
+          select t.doc_id, t.text, s.pfx,
+                 trim(substr(t.text, p.pos, l.len0),
+                      ' ' || chr(9) || chr(10) || chr(13)) as name
+          from t, (values {_pfxv}) s(pfx),
+          lateral (select strpos(t.text, s.pfx) as pos) p,
+          lateral (select strpos(substr(t.text, p.pos), '.') as dotp) dd,
+          lateral (select case when dd.dotp > 0 then dd.dotp - 1
+                          else least(length(t.text) - (p.pos - 1), 50)
+                     end as len0) l
+          where p.pos > 0),
+        pfx as (
+          select doc_id, text, name, 'ORGANIZATION' as entity_type,
+                 {_org_conf} as confidence
+          from pfx0 where name <> '' and length(name) > length(pfx)),
+        orgloc as (
+          select doc_id, text, name, entity_type, confidence from locs
+          union all
+          select doc_id, text, name, entity_type, confidence from sfx
+          where confidence >= 0.7
+          union all
+          select doc_id, text, name, entity_type, confidence from pfx
+          where confidence >= 0.7),
+        words as (
+          select doc_id, idx,
+                 lower(rtrim(regexp_replace(w, '[^A-Za-z'']+', '', 'g'),
+                             '''')) as lw
+          from (select doc_id, unnest(tk) as w,
+                       generate_subscripts(tk, 1) as idx
+                from (select doc_id,
+                             list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') as tk
+                      from t))),
+        cand as (
+          select a.doc_id, a.idx, k.nm
+          from words a
+          join words b on b.doc_id = a.doc_id and b.idx = a.idx + 1
+          join (values {_knv}) k(w1, w2, nm)
+            on k.w1 = a.lw and k.w2 = b.lw),
+        isl as (
+          select doc_id, idx, nm,
+                 idx - row_number() over (partition by doc_id
+                                          order by idx) as grp
+          from cand),
+        kept as (
+          select doc_id, nm from (
+            select doc_id, idx, nm,
+                   min(idx) over (partition by doc_id, grp) as s
+            from isl)
+          where (idx - s) % 2 = 0),
+        pers as (
+          select k.doc_id, t.text, k.nm as name, 'PERSON' as entity_type,
+                 0.95 as confidence, count(*)::BIGINT as n_inst
+          from kept k join t using (doc_id)
+          group by k.doc_id, t.text, k.nm),
+        inst as (
+          select doc_id, text, name, entity_type, confidence,
+                 1::BIGINT as n_inst
+          from orgloc
+          union all
+          select doc_id, text, name, entity_type, confidence, n_inst
+          from pers),
+        agg as (
+          select doc_id, text, name, entity_type,
+                 max(confidence) as confidence,
+                 sum(n_inst)::BIGINT as tot_inst
+          from inst group by doc_id, text, name, entity_type)
+        select doc_id,
+               entity_type || '_'
+                 || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                 as entity_id,
+               name, entity_type,
+               round(confidence, 6) as confidence,
+               (tot_inst * ((length(text) - length(replace(text, name, '')))
+                            // length(name)))::BIGINT as n_mentions,
+               (case when strpos(text, name) > 0 then strpos(text, name) - 1
+                     else 1152921504606846976 end)::BIGINT as first_offset
+        from agg
+    """
+    # E1a-e replay (see q_kg_sql_entities2): CONCEPT word branches,
+    # EVENT/OBJECT dictionary scans, FUNCTION/STRUCT regex captures —
+    # same dedup/mention arithmetic as kg_sql_entities.
+    _t2 = ", ".join(f"'{t}'" for t in _KG_ENT2_TAILS)
+    _evv = ", ".join(f"('{w}')" for w in _rl.EVENT_WORDS)
+    _obv = ", ".join(f"('{w}')" for w in _rl.OBJECT_WORDS)
+    _cind = " or ".join(f"contains(cw, '{i}')"
+                        for i in _rl.CONCEPT_INDICATORS)
+    _common = "[" + ", ".join(f"'{w}'" for w in sorted(_rl.COMMON_WORDS)) + "]"
+    # DuckDB string literals are not backslash-escaped, so the Python
+    # regex source strings pass through verbatim.
+    _fn_pat = _rl.CODE_PATTERNS["FUNCTION"]
+    _st_pat = _rl.CODE_PATTERNS["STRUCT"]
+    sql["kg_sql_entities2"] = f"""
+        with t as (
+          select doc_id,
+                 text || ' ' || ([{_t2}])[(doc_id % 4)::INT + 1] as text
+          from documents),
+        words as (
+          select doc_id, w,
+                 rtrim(regexp_replace(w, '[^A-Za-z'']+', '', 'g'),
+                       '''') as cw
+          from (select doc_id, unnest(
+                  list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) as w
+                from t)),
+        conc_a as (
+          select doc_id, cw as name, 'CONCEPT' as entity_type,
+                 0.75 as confidence
+          from words where {_cind}),
+        conc_b as (
+          select doc_id, cw as name, 'CONCEPT' as entity_type,
+                 0.6 as confidence
+          from words
+          where substr(w, 1, 1) between 'A' and 'Z' and length(w) > 4
+            and not list_contains({_common}, lower(cw))),
+        ev as (
+          select t.doc_id, v.nm as name, 'EVENT' as entity_type,
+                 0.7 as confidence
+          from t, (values {_evv}) v(nm)
+          where contains(lower(t.text), v.nm)),
+        ob as (
+          select t.doc_id, v.nm as name, 'OBJECT' as entity_type,
+                 0.65 as confidence
+          from t, (values {_obv}) v(nm)
+          where contains(lower(t.text), v.nm)),
+        code as (
+          select doc_id, name, entity_type, 0.95 as confidence
+          from (
+            select doc_id, unnest(
+                regexp_extract_all(text, '{_fn_pat}', 1)) as name,
+                'FUNCTION' as entity_type from t
+            union all
+            select doc_id, unnest(
+                regexp_extract_all(text, '{_st_pat}', 1)) as name,
+                'STRUCT' as entity_type from t)
+          where length(name) >= 2),
+        inst as (
+          select * from conc_a union all select * from conc_b
+          union all select * from ev union all select * from ob
+          union all select * from code),
+        agg as (
+          select i.doc_id, t.text, i.name, i.entity_type,
+                 max(i.confidence) as confidence,
+                 count(*)::BIGINT as tot_inst
+          from inst i join t using (doc_id)
+          group by i.doc_id, t.text, i.name, i.entity_type)
+        select doc_id,
+               entity_type || '_'
+                 || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                 as entity_id,
+               name, entity_type,
+               round(confidence::DOUBLE, 6) as confidence,
+               (tot_inst * ((length(text) - length(replace(text, name, '')))
+                            // length(name)))::BIGINT as n_mentions,
+               (case when strpos(text, name) > 0 then strpos(text, name) - 1
+                     else 1152921504606846976 end)::BIGINT as first_offset
+        from agg
+    """
+    # inference.rs replay (see q_inferred_relations): dictionary-NER
+    # CTEs (same shape as _kg_sql_base, '_' ids) + the IDENTICAL
+    # engine-neutral evidence-score expression from
+    # operators/inference.py; only the word-position primitives are
+    # dialect-specific (list comprehension here, transform/filter in
+    # Spark).
+    from graphrag_rs_spark.operators.inference import (
+        PROX_BUCKET_SQL as _prox_bucket,
+        entity_name_sql as _ent_name,
+        evidence_score_sql as _ev_sql,
+    )
+    _inf_tails = ", ".join(f"'{t}'" for t in _INF_TAILS)
+    _inf_tgts = ", ".join(f"('{t}')" for t in _INF_TARGETS)
+    sql["inferred_relations"] = f"""
+        with t0 as (
+          select doc_id,
+                 text || ' ' || ([{_inf_tails}])[(doc_id % 5)::INT + 1]
+                   as text
+          from documents),
+        tkn as (select doc_id, text, {_TOKS} as ts from t0),
+        ng0 as (
+          select doc_id, unnest(flatten([
+            [ array_to_string(ts[i:i+n-1], ' ')
+              for i in generate_series(1, greatest(len(ts) - n + 1, 0)) ]
+            for n in generate_series(1, 3) ])) as gram
+          from tkn),
+        lex(gram, entity_type) as (values {kg_lex_vals}),
+        ce as (select distinct doc_id,
+                      entity_type || '_' || replace(gram, ' ', '_')
+                        as entity_id
+               from ng0 join lex using (gram)),
+        targets(tid) as (values {_inf_tgts}),
+        tc as (select t.tid, ce.doc_id
+               from ce join targets t on ce.entity_id = t.tid),
+        nt as (select tid, count(*)::BIGINT as n from tc group by tid),
+        pairs as (select tc.tid, ce.entity_id as oid, tc.doc_id
+                  from tc join ce using (doc_id)
+                  where ce.entity_id <> tc.tid),
+        base as (
+          select p.tid, p.oid, lower(t0.text) as content,
+                 {_ent_name('p.tid')} as na,
+                 {_ent_name('p.oid')} as nb
+          from pairs p join t0 using (doc_id)),
+        pos as (
+          select tid, oid, content, na, nb,
+                 [i - 1 for i in generate_series(1, len(ws))
+                        if contains(ws[i], na)] as pa,
+                 [i - 1 for i in generate_series(1, len(ws))
+                        if contains(ws[i], nb)] as pb
+          from (select *, list_filter(
+                  string_split_regex(content, '\\s+'),
+                  x -> x <> '') as ws from base)),
+        prox0 as (
+          select tid, oid, content, na, nb, pa, pb,
+                 list_min(flatten(list_transform(pa, x ->
+                   list_transform(pb, y -> abs(x - y))))) as mind
+          from pos),
+        sc as (
+          select tid, oid, content, na, nb,
+                 (case when len(pa) = 0 or len(pb) = 0 then 0.0e0
+                       else {_prox_bucket} end) as prox
+          from prox0),
+        sc2 as (select tid, oid, {_ev_sql()} as score from sc),
+        ag as (select tid, oid, sum(score) as s from sc2
+               group by tid, oid),
+        res as (
+          select ag.tid, ag.oid,
+                 round(least(s / nt.n, 1.0e0), 6) as confidence,
+                 nt.n as evidence_count
+          from ag join nt on nt.tid = ag.tid
+          where round(least(s / nt.n, 1.0e0), 6) >= 0.3e0)
+        select tid as target_id, oid as other_id,
+               'FRIENDS' as relation_type, confidence,
+               evidence_count::BIGINT as evidence_count
+        from (select *, row_number() over (partition by tid
+                order by confidence desc, oid asc) as rn from res)
+        where rn <= 10
     """
     # node2vec walk corpus replay: adjacency = sorted neighbor lists;
     # per hop u = (h60(start|wid|step|cur|seed) % 1000003) / 1000003,

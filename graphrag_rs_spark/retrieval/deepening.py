@@ -106,13 +106,16 @@ def iterative_deepening(
                       * (1.0 + F.col("connections") * 0.5) * 1e6) \
         .cast("bigint")
 
-    cur = seeds.select("query_id", "concept").distinct() \
-        .withColumn("added_depth", F.lit(0)).localCheckpoint(eager=True)
-    # visited is a UNION of per-depth checkpointed parts, rebuilt lazily
-    # each depth: re-checkpointing the growing union would re-serialize
-    # every earlier depth's rows at every depth (O(depth²) write
-    # amplification — the betweenness-loop lesson); the parts are each
-    # eagerly checkpointed, so unioning them is metadata-only
+    # cur and visited are UNIONs of per-depth checkpointed parts,
+    # rebuilt lazily each depth: re-checkpointing a growing union would
+    # re-serialize every earlier depth's rows at every depth (O(depth²)
+    # write amplification — the betweenness-loop lesson); the parts are
+    # each eagerly checkpointed, so unioning them is metadata-only.
+    # cur_parts[i] is exactly the concepts added at depth i, so the
+    # depth-d frontier is cur_parts[d] directly — no union scan.
+    cur_parts: list[DataFrame] = [
+        seeds.select("query_id", "concept").distinct()
+        .withColumn("added_depth", F.lit(0)).localCheckpoint(eager=True)]
     visited_parts: list[DataFrame] = []
     visited = None          # (query_id, chunk_id, depth_found)
     stopped = None          # (query_id, stop_reason, depth_reached)
@@ -124,8 +127,26 @@ def iterative_deepening(
         return df.join(stopped.select("query_id"), "query_id",
                        "left_anti") if stopped is not None else df
 
+    def union_all(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
     for d in range(max_depth):
-        frontier = not_stopped(cur.filter(F.col("added_depth") == d))
+        cur = union_all(cur_parts)
+        # co-locate each query's frontier concepts in ONE task before
+        # the posting-list join: query_id partitioning satisfies the
+        # (query_id, chunk_id) distinct's clustering requirement, so the
+        # 88M-row join output is deduplicated WITHOUT its own exchange
+        # and cross-concept duplicate pairs collapse in-task — measured
+        # 43 s → 4 s on the sf0.1 depth-0 frontier.  The partition count
+        # MUST be explicit: the frontier is tiny at shuffle time and
+        # AQE would coalesce an unnumbered repartition to ~1 partition,
+        # single-threading the 8800×-fan-out join that follows.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        frontier = not_stopped(cur_parts[d]).repartition(n_part,
+                                                         "query_id")
         new_chunks = (frontier.join(cc, frontier["concept"]
                                     == cc["concept"])
                       .select("query_id", "chunk_id").distinct()
@@ -137,10 +158,12 @@ def iterative_deepening(
         # queries stopped earlier keep their visited set frozen
         new_chunks = not_stopped(new_chunks).localCheckpoint(eager=True)
         visited_parts.append(new_chunks)
-        visited = visited_parts[0]
-        for part in visited_parts[1:]:
-            visited = visited.union(part)
+        visited = union_all(visited_parts)
 
+        # stop bookkeeping stays LAZY within the depth — new_stops and
+        # starved derive from checkpointed parts via cheap keyed joins,
+        # and the single end-of-depth checkpoint materializes the whole
+        # stopped union in one job (was: two eager barriers per depth)
         stats = (not_stopped(visited.groupBy("query_id")
                              .agg(F.count(F.lit(1)).alias("tc")))
                  .join(cur.groupBy("query_id")
@@ -156,39 +179,33 @@ def iterative_deepening(
             .filter(F.col("stop_reason").isNotNull())
         stopped = new_stops if stopped is None else \
             stopped.union(new_stops)
-        stopped = stopped.localCheckpoint(eager=True)
 
         # expansion runs on EVERY iteration including the last (the
         # reference expands before discovering the loop is over, and
-        # total_concepts_explored counts that final expansion)
-        # expansion: per current concept, top-k neighbors by
-        # (confidence desc, name asc) — get_related_concepts — then
-        # global per-query scoring of fresh candidates
+        # total_concepts_explored counts that final expansion).
+        # get_related_concepts top-k AND the connections count both
+        # consume the SAME cur_active ⋈ und join, so rank once and fold
+        # both into ONE (query, cand) aggregation: n_contrib = current
+        # concepts ranking cand inside their top-k, connections = ALL
+        # edge rows from current concepts to cand.
         cur_active = not_stopped(cur)
         wrel = Window.partitionBy("query_id", "concept").orderBy(
             F.col("confidence").desc(), F.col("nb").asc())
-        related = (cur_active.join(und, cur_active["concept"]
-                                   == und["src"])
-                   .withColumn("_rk", F.row_number().over(wrel))
-                   .filter(F.col("_rk") <= concepts_per_depth)
-                   .select("query_id", F.col("nb").alias("cand")))
-        fresh = (related.groupBy("query_id", "cand")
-                 .agg(F.count(F.lit(1)).alias("n_contrib"))
+        ranked = (cur_active.join(und, cur_active["concept"]
+                                  == und["src"])
+                  .withColumn("_rk", F.row_number().over(wrel)))
+        cand_agg = (ranked.groupBy("query_id",
+                                   F.col("nb").alias("cand"))
+                    .agg(F.sum(F.when(F.col("_rk") <= concepts_per_depth,
+                                      1).otherwise(0)).alias("n_contrib"),
+                         F.count(F.lit(1)).alias("connections")))
+        fresh = (cand_agg.filter(F.col("n_contrib") > 0)
                  .join(cur_active.select(
                      "query_id", F.col("concept").alias("cand")),
                      ["query_id", "cand"], "left_anti"))
-        # connections: current concepts with ANY edge to the candidate
-        conn = (cur_active.join(und.select(F.col("src").alias("concept"),
-                                           F.col("nb").alias("cand")),
-                                "concept")
-                .groupBy("query_id", "cand")
-                .agg(F.count(F.lit(1)).alias("connections")))
         scored = (fresh
-                  .join(conn, ["query_id", "cand"], "left")
                   .join(concepts.select(F.col("concept").alias("cand"),
                                         "freq"), "cand", "left")
-                  .withColumn("connections",
-                              F.coalesce("connections", F.lit(0)))
                   .filter(F.col("freq").isNotNull())
                   .withColumn("total_u", score_u * F.col("n_contrib"))
                   .filter(F.col("total_u") > 0))
@@ -206,9 +223,11 @@ def iterative_deepening(
                            F.lit("no_more_concepts").alias("stop_reason"),
                            F.lit(d).cast("int").alias("depth_reached")))
         stopped = stopped.union(starved).localCheckpoint(eager=True)
-        cur = cur.union(picked).localCheckpoint(eager=True)
+        cur_parts.append(picked)
 
     und.unpersist()
+    # total_concepts counts the final expansion too (reference quirk)
+    cur = union_all(cur_parts)
     if stopped is None:
         stopped = empty_stop
     summary = (visited.groupBy("query_id")
@@ -224,7 +243,10 @@ def iterative_deepening(
                                   F.lit(max_depth)).cast("int")
                        .alias("depth_reached"),
                        "total_chunks", "total_concepts"))
-    return (visited.join(summary, "query_id")
+    # summary is one row per query (bounded by the query count, not the
+    # corpus) — broadcast it so the corpus-sized visited table never
+    # shuffles for the final annotate
+    return (visited.join(F.broadcast(summary), "query_id")
             .select("query_id", "chunk_id",
                     F.col("depth_found").cast("int").alias("depth_found"),
                     "depth_reached", "stop_reason", "total_chunks",
