@@ -2279,7 +2279,10 @@ def _hits_sql(iterations: int = 5) -> str:
         "'s' || l_suppkey as dst "
         "from orders join lineitem on o_orderkey = l_orderkey)",
         "n as (select src as node from e0 union select dst from e0)",
-        "h0 as (select node, 1.0 as score from n)",
+        "cnt as (select count(*)::DOUBLE as c from n)",
+        # L1-normalized uniform init — matches algos/hits.py so the
+        # zero-iteration contract (scores sum to 1) holds in both engines
+        "h0 as (select node, 1.0 / (select c from cnt) as score from n)",
     ]
 
     def half(out, raw, frm, score_on, flow_to):

@@ -37,8 +37,14 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
         .distinct()
         .persist()
     )
-    # init scale is irrelevant under L1 normalization — start at 1
-    h = nodes.withColumn("score", F.lit(1.0))
+    # L1-normalized uniform init (1/N): the init scale is irrelevant
+    # once a half-step normalizes, but with iterations=0 the init IS
+    # the output, and the module contract says scores sum to 1 — so
+    # honor it from the start (uniform, like pagerank's zero-iteration
+    # behavior).
+    n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    h = nodes.crossJoin(F.broadcast(n_total)) \
+        .select("node", (F.lit(1.0) / F.col("_n")).alias("score"))
 
     def _half(frm: DataFrame, key: str, out: str) -> DataFrame:
         """One half-step: pull scores across edges onto `out`-side nodes,

@@ -59,32 +59,37 @@ def mmr_select(rows: list[tuple], k: int, lam: float) -> list[tuple]:
     6-dp rounded.  First pick maximizes lam*rel (max-sim over the empty
     selected set is 0.0, so the formula is uniform across picks)."""
     mu = round(1.0 - lam, 12)
-    remaining = list(rows)
+    # rows keyed by their INDEX, not candidate id: duplicate ids in the
+    # input are distinct candidates with (possibly) different vectors,
+    # so each row keeps its own running max-sim (ADVICE r3 — an
+    # id-keyed dict silently shared one max across duplicates)
+    remaining = list(enumerate(rows))
     out: list[tuple] = []
-    # incremental running max-sim per candidate: each pick costs one
-    # cosine per remaining candidate (vs the newly selected vector)
+    # incremental running max-sim per candidate row: each pick costs
+    # one cosine per remaining candidate (vs the newly selected vector)
     # instead of re-scanning the whole selected set — O(k·n·dim) total,
     # identical values (max is associative).  None = empty selected set
     # (scores as 0.0); a true max can be negative, so 0.0 is not a
     # valid init once anything is selected.
-    maxsim: dict = {cid: None for (cid, _, _) in rows}
+    maxsim: dict[int, float | None] = {i: None for i in range(len(rows))}
     last_vec = None
     for pick in range(1, min(k, len(rows)) + 1):
         if last_vec is not None:
-            for (cid, _, vec) in remaining:
+            for (i, (_, _, vec)) in remaining:
                 s = _cos6(vec, last_vec)
-                if maxsim[cid] is None or s > maxsim[cid]:
-                    maxsim[cid] = s
+                if maxsim[i] is None or s > maxsim[i]:
+                    maxsim[i] = s
         best = None
-        for (cid, rel, vec) in remaining:
-            ms = maxsim[cid] if maxsim[cid] is not None else 0.0
+        for (i, (cid, rel, vec)) in remaining:
+            ms = maxsim[i] if maxsim[i] is not None else 0.0
             score = round(lam * rel - mu * ms, 6)
-            # argmax with id-asc tie-break
+            # argmax with (id asc, row-index asc) tie-break
             if best is None or score > best[1] or \
-                    (score == best[1] and cid < best[0][0]):
-                best = ((cid, rel, vec), score)
-        out.append((best[0][0], pick, best[1]))
-        last_vec = best[0][2]
+                    (score == best[1] and (cid, i) < (best[0][1][0],
+                                                      best[0][0])):
+                best = ((i, (cid, rel, vec)), score)
+        out.append((best[0][1][0], pick, best[1]))
+        last_vec = best[0][1][2]
         remaining = [r for r in remaining if r[0] != best[0][0]]
     return out
 

@@ -133,11 +133,15 @@ def import_table(
         raise ValueError(f"unsupported import format {fmt!r}")
 
     m = mappings
-    # _ord pins "first occurrence in file order": partition index rides
-    # the high bits of monotonically_increasing_id and file scans split
-    # in order, so min_by(_ord) is the first row of the file — a bare
-    # dropDuplicates keeps whichever row the plan touches first, which
-    # can differ run-to-run
+    # _ord pins a DETERMINISTIC winner per id: partition index rides the
+    # high bits of monotonically_increasing_id, so min_by(_ord) is
+    # stable run-to-run where a bare dropDuplicates keeps whichever row
+    # the plan touches first.  With a single input file this is
+    # first-occurrence-in-file; with several, Spark orders non-bucketed
+    # splits by size descending, so the winner is first-in-SPLIT-ORDER,
+    # not necessarily first in listing order (acceptable — the
+    # reference's HashMap insert keeps an arbitrary-but-single winner
+    # too; only determinism matters for parity).
     ordered = df.withColumn("_ord", F.monotonically_increasing_id())
     entities = (
         ordered.select(

@@ -7,7 +7,11 @@ the checkpoint table at ``{workdir}/_checkpoints/``:
 
     (run_id, stage, partition_id, rows, checksum, status, ts)
 
-partition_id = -1 marks the stage-summary row (status committed/failed).
+partition_id = -1 marks the stage-summary row (status committed/failed);
+-2 marks a pre-overwrite intent row (status writing), appended before a
+stage dir is rewritten so that OTHER runs' stale committed markers for
+the shared dir can never satisfy a resume (completed() requires the
+latest negative-partition event to be this run's commit).
 A killed run resumes by skipping stages whose summary row is committed
 and whose output directory exists, re-reading the materialized output —
 the driver-loop equivalent of the reference's phase validation
@@ -48,17 +52,21 @@ class CheckpointManager:
         if not os.path.exists(self.ckpt_dir):
             return False
         ck = self.spark.read.parquet(self.ckpt_dir)
-        n = ck.filter(
-            (F.col("run_id") == self.run_id)
-            & (F.col("stage") == stage)
-            & (F.col("partition_id") == -1)
-            & (F.col("status") == "committed")
-        ).count()
-        # run_id scopes the resume decision: a NEW run sharing a workdir
-        # must not silently adopt another run's committed outputs (built
-        # from different inputs/config); resuming a killed run uses the
-        # SAME run_id and still skips its committed stages
-        return n > 0 and os.path.exists(self._stage_dir(stage))
+        # run_id scopes the resume decision BOTH ways (ADVICE r3): a new
+        # run must not adopt another run's outputs, AND an old run must
+        # not resume onto a stage dir another run has since overwritten
+        # — stage dirs are shared at the workdir root (layout contract),
+        # so the LATEST summary event for the stage decides.  run_stage
+        # appends a 'writing' event BEFORE its overwrite, so even a
+        # crashed foreign overwrite invalidates stale committed markers.
+        # partition_id -1 = commit summary, -2 = pre-overwrite intent
+        last = (ck.filter((F.col("stage") == stage)
+                          & (F.col("partition_id") < 0))
+                .orderBy(F.col("ts").desc()).limit(1).collect())
+        return (bool(last)
+                and last[0].run_id == self.run_id
+                and last[0].status == "committed"
+                and os.path.exists(self._stage_dir(stage)))
 
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._stage_dir(stage))
@@ -70,6 +78,11 @@ class CheckpointManager:
         if resume and self.completed(stage):
             return self.load(stage)
         out_dir = self._stage_dir(stage)
+        # intent marker (partition_id -2) BEFORE the overwrite: any
+        # other run's committed marker for this stage is now stale,
+        # even if this run dies mid-write (see completed())
+        self._append([(self.run_id, stage, -2, 0, 0, "writing",
+                       time.time())])
         df = df_fn()
         df.write.mode("overwrite").parquet(out_dir)
         written = self.spark.read.parquet(out_dir)

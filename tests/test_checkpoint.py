@@ -72,3 +72,37 @@ def test_no_resume_recomputes(spark, tiny_transcripts, tmp_path):
     res2 = run_pipeline_checkpointed(
         spark, tiny_transcripts, workdir=wd, run_id="r2", resume=False)
     assert _triples(res2) == t1
+
+
+def test_stale_run_does_not_adopt_other_runs_overwrite(spark, tmp_path):
+    """ADVICE r3: run A commits a stage; run B overwrites the shared
+    stage dir.  Resuming run A must NOT pass completed() and silently
+    load B's data — the latest event for the stage belongs to B."""
+    from graphrag_rs_spark.stages.checkpoint import CheckpointManager
+    wd = str(tmp_path / "wd")
+    a = CheckpointManager(spark, wd, "runA")
+    a.run_stage("s", lambda: spark.range(5).toDF("v"))
+    assert a.completed("s")
+    b = CheckpointManager(spark, wd, "runB")
+    assert not b.completed("s")          # B never adopts A's output
+    b.run_stage("s", lambda: spark.range(9).toDF("v"))
+    assert b.completed("s")
+    # the reverse direction (the ADVICE finding): A's marker is stale
+    assert not a.completed("s")
+    out = a.run_stage("s", lambda: spark.range(5).toDF("v"))
+    assert out.count() == 5              # A recomputed its own data
+    assert a.completed("s") and not b.completed("s")
+
+
+def test_crashed_foreign_overwrite_invalidates(spark, tmp_path):
+    """A foreign run that died AFTER starting its overwrite but BEFORE
+    committing still invalidates the stale committed marker (the -2
+    intent row is the latest event)."""
+    from graphrag_rs_spark.stages.checkpoint import CheckpointManager
+    import time
+    wd = str(tmp_path / "wd")
+    a = CheckpointManager(spark, wd, "runA")
+    a.run_stage("s", lambda: spark.range(5).toDF("v"))
+    b = CheckpointManager(spark, wd, "runB")
+    b._append([("runB", "s", -2, 0, 0, "writing", time.time())])
+    assert not a.completed("s")

@@ -307,4 +307,9 @@ def test_hits_zero_iterations_returns_uniform_init(spark):
                               "src string, dst string")
     out = {r.node: r for r in hits(e, iterations=0).collect()}
     assert len(out) == 3
-    assert all(r.hub == 1.0 and r.authority == 1.0 for r in out.values())
+    # zero-iteration output honors the L1 contract: uniform 1/N, sums
+    # to 1 (ADVICE r3 — the raw all-ones init violated the invariant)
+    third = round(1.0 / 3.0, 8)
+    assert all(r.hub == third and r.authority == third
+               for r in out.values())
+    assert abs(sum(r.hub for r in out.values()) - 1.0) < 1e-6

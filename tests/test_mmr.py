@@ -97,3 +97,21 @@ class TestMmrRerank:
                   "embedding array<double>")
         out = mmr_rerank(df, k=1, lam=1.0).collect()
         assert out[0].vec_id == 2
+
+
+def test_mmr_select_duplicate_ids_score_independently():
+    """ADVICE r3: duplicate candidate ids are distinct rows — each keeps
+    its own running max-sim against its OWN vector."""
+    from graphrag_rs_spark.retrieval.mmr import mmr_select
+    rows = [
+        ("a", 1.0, [1.0, 0.0]),
+        ("a", 0.9, [0.0, 1.0]),   # same id, orthogonal vector
+        ("b", 0.8, [1.0, 0.0]),
+    ]
+    out = mmr_select(rows, k=3, lam=0.5)
+    assert [r[0] for r in out] == ["a", "a", "b"]
+    # second pick: the duplicate 'a' row is orthogonal to the first
+    # pick, so its max-sim is 0 and its score is lam*0.9 = 0.45; the
+    # id-keyed bug shared max-sim 1.0 (self-sim of the other 'a' row)
+    # and scored it 0.9*0.5 - 0.5*1.0 = -0.05
+    assert out[1][2] == 0.45
