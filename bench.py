@@ -122,7 +122,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "rograg_query_valid", "query_rewrite",
                  "doc_validation", "kg_validation", "tree_query",
                  "cross_rerank", "corpus_entities", "corpus_relations",
-                 "qa_eval"):
+                 "qa_eval", "kg_sql_entities", "kg_sql_entities2",
+                 "inferred_relations"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 

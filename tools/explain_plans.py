@@ -802,6 +802,24 @@ def main() -> int:
         "contract, millions of query groups in parallel at 100 TB.",
         trim(p)))
 
+    # inference: pure-JVM evidence scoring, broadcast target/summary sides
+    p = plan_of(q["inferred_relations"](spark, sf_dir))
+    check("inference: no Python in plan",
+          "BatchEvalPython" not in p and "MapInPandas" not in p
+          and "FlatMapGroupsInPandas" not in p,
+          "evidence scoring must stay JVM-side")
+    check("inference: broadcast joins for target/count sides",
+          "BroadcastHashJoin" in p,
+          "targets and per-target chunk counts should broadcast")
+    SECTIONS.append((
+        "inferred_relations — implicit-relationship inference",
+        "The 44-pattern evidence score is ONE aggregate() fold over a "
+        "pattern-struct array (small codegen lambda — the unrolled CASE "
+        "chain overflowed janino's 64KB method limit and fell out of "
+        "codegen); the tiny target list and per-target chunk counts "
+        "broadcast, so the corpus only moves in chunk_id equi-joins and "
+        "the final (target, other) aggregation.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
