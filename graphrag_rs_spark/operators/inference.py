@@ -67,33 +67,52 @@ def _near_sql(pat: str) -> str:
     return f"(contains({ctx}, na) and contains({ctx}, nb))"
 
 
+def chunk_features_sql() -> str:
+    """Per-CHUNK pattern features as one array<struct> column over
+    `content`: for each of the 44 patterns, found flag, the ±100-char
+    context window around its first occurrence, and the weight/near/far
+    multipliers.  These depend only on the chunk, so computing them
+    once per chunk (instead of once per (chunk, target, other) pair —
+    ~10× the rows) removes ~90% of the string scanning; the pair-level
+    fold (evidence_fold_sql) only runs contains(ctx, name) checks."""
+    entries = []
+    for plist, mn, mf in ((FRIENDSHIP_PATTERNS, 0.5, 0.3),
+                          (NEGATIVE_PATTERNS, 1.2, 0.8)):
+        for p, w in plist:
+            ln = len(p)
+            start = f"greatest(instr(content, '{p}') - 101, 0)"
+            width = (f"least(instr(content, '{p}') - 1 + {ln} + 100, "
+                     f"length(content)) - {start}")
+            entries.append(
+                f"named_struct('f', instr(content, '{p}') > 0, "
+                f"'c', substr(content, {start} + 1, {width}), "
+                f"'w', {w}e0, 'mn', {mn}e0, 'mf', {mf}e0)")
+    return "array(" + ", ".join(entries) + ")"
+
+
+FAMILY_FACTOR_SQL = (
+    "case when "
+    + " or ".join(f"instr(content, '{p}') > 0" for p in FAMILY_PATTERNS)
+    + " then 0.8e0 else 1.0e0 end")
+
+
 def evidence_fold_sql() -> str:
-    """Spark-side evidence score as ONE `aggregate()` fold over a
-    literal array of pattern structs.  The written-out 44-pattern CASE
-    chain (evidence_score_sql, used by the DuckDB oracle) exceeds
-    janino's 64KB generated-method limit and drops the projection out
-    of whole-stage codegen; folding keeps the lambda body small — one
-    pattern's term — while the pattern table is data.  The fold is
-    seeded with `0.2e0 + prox` so the float-addition association is
-    exactly the reference's sequential `score += term` order
-    (inference.rs:163-255), bit-matching the oracle's unrolled chain."""
-    structs = ", ".join(
-        f"named_struct('p', '{p}', 'w', {w}e0, 'mn', {mn}e0, 'mf', {mf}e0)"
-        for plist, mn, mf in ((FRIENDSHIP_PATTERNS, 0.5, 0.3),
-                              (NEGATIVE_PATTERNS, 1.2, 0.8))
-        for p, w in plist)
-    start = "greatest(instr(content, q.p) - 101, 0)"
-    width = (f"least(instr(content, q.p) - 1 + length(q.p) + 100, "
-             f"length(content)) - {start}")
-    ctx = f"substr(content, {start} + 1, {width})"
-    term = (f"case when instr(content, q.p) > 0 then q.w * "
-            f"(case when contains({ctx}, na) and contains({ctx}, nb) "
-            f"then q.mn else q.mf end) else 0.0e0 end")
-    fam = " or ".join(f"instr(content, '{p}') > 0" for p in FAMILY_PATTERNS)
+    """Spark-side evidence score as ONE `aggregate()` fold over the
+    per-chunk `feats` array (chunk_features_sql) with the per-chunk
+    `fam` factor.  The written-out 44-pattern CASE chain
+    (evidence_score_sql, used by the DuckDB oracle) exceeds janino's
+    64KB generated-method limit and drops the projection out of
+    whole-stage codegen; folding keeps the lambda body small — one
+    pattern's term.  The fold is seeded with `0.2e0 + prox` so the
+    float-addition association is exactly the reference's sequential
+    `score += term` order (inference.rs:163-255), bit-matching the
+    oracle's unrolled chain."""
+    term = ("case when q.f then q.w * "
+            "(case when contains(q.c, na) and contains(q.c, nb) "
+            "then q.mn else q.mf end) else 0.0e0 end")
     return (f"least(greatest("
-            f"aggregate(array({structs}), 0.2e0 + prox, "
-            f"(acc, q) -> acc + ({term})) * "
-            f"(case when {fam} then 0.8e0 else 1.0e0 end), 0.0e0), 1.0e0)")
+            f"aggregate(feats, 0.2e0 + prox, "
+            f"(acc, q) -> acc + ({term})) * fam, 0.0e0), 1.0e0)")
 
 
 def evidence_score_sql() -> str:
@@ -175,10 +194,15 @@ def infer_relationships(
         .filter(F.col("entity_id") != F.col("target_id")) \
         .withColumnRenamed("entity_id", "other_id")
 
+    # per-chunk precompute: lowered text, pattern feature array, family
+    # factor — computed once per chunk, reused by every pair on it
+    chunk_feats = (chunks
+                   .select("chunk_id",
+                           F.lower("content").alias("content"))
+                   .withColumn("feats", F.expr(chunk_features_sql()))
+                   .withColumn("fam", F.expr(FAMILY_FACTOR_SQL)))
     scored = (
-        pairs.join(chunks.select("chunk_id",
-                                 F.lower("content").alias("content")),
-                   "chunk_id")
+        pairs.join(chunk_feats, "chunk_id")
         .withColumn("na", F.expr(entity_name_sql("target_id")))
         .withColumn("nb", F.expr(entity_name_sql("other_id")))
         # proximity (inference.rs:316-356): word positions whose word
