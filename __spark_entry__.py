@@ -2121,16 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "node_churn": q_node_churn,
         "temporal_centrality": q_temporal_centrality,
-        "rerank_stats": q_rerank_stats,
-        "corpus_stats": q_corpus_stats,
-        "qa_summary": q_qa_summary,
-        "quantize_emb": q_quantize_emb,
-        "quantized_knn": q_quantized_knn,
-        "sample_fraction": q_sample_fraction,
-        "sample_stratified": q_sample_stratified,
         "mixture_plan": q_mixture_plan,
         "mixture_real": q_mixture_real,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "dsir_select": q_dsir_select,
         "source_stats": q_source_stats,
         "md_sections": q_md_sections,
@@ -2156,6 +2148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa,
         "hits": q_hits,
         "iter_deepening": q_iter_deepening,
+        "sample_fraction": q_sample_fraction,
+        "sample_stratified": q_sample_stratified,
+        "corpus_stats": q_corpus_stats,
+        "qa_summary": q_qa_summary,
+        "quantize_emb": q_quantize_emb,
+        "quantized_knn": q_quantized_knn,
+        "rerank_stats": q_rerank_stats,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "reassembly_check": q_reassembly_check,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
