@@ -3632,12 +3632,19 @@ def oracle_sql() -> dict[str, str]:
         from summed join dn using (id)
     """
 
-    sql["embedding_near_dup"] = """
-        with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    # pair sims are dot products of ONCE-normalized vectors (mirrors
+    # similarity._normalized — one interpreted HOF per pair, not three)
+    _VN = """(select vec_id,
+                case when nrm = 0 then list_transform(vv, x -> 0.0)
+                     else list_transform(vv, x -> x / nrm) end as vn
+              from (select vec_id, embedding::DOUBLE[] as vv,
+                           sqrt(list_dot_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])) as nrm
+                    from embeddings))"""
+    sql["embedding_near_dup"] = f"""
+        with v as {_VN},
         s as (select a.vec_id as id_a, b.vec_id as id_b,
-                     round(list_dot_product(a.vv, b.vv)
-                         / (sqrt(list_dot_product(a.vv, a.vv))
-                            * sqrt(list_dot_product(b.vv, b.vv))), 6) as sim
+                     round(list_dot_product(a.vn, b.vn), 6) as sim
               from v a join v b on a.vec_id < b.vec_id)
         select id_a, id_b, sim from s where sim >= 0.4
     """
@@ -3680,13 +3687,12 @@ def oracle_sql() -> dict[str, str]:
                  from bk a join bk b
                    on a.band = b.band and a.bucket = b.bucket
                   and a.vec_id < b.vec_id),
+        vn as {_VN},
         s as (select id_a, id_b,
-                     round(list_dot_product(x.vv, y.vv)
-                         / (sqrt(list_dot_product(x.vv, x.vv))
-                            * sqrt(list_dot_product(y.vv, y.vv))), 6) as sim
+                     round(list_dot_product(x.vn, y.vn), 6) as sim
               from cand
-              join v x on x.vec_id = cand.id_a
-              join v y on y.vec_id = cand.id_b)
+              join vn x on x.vec_id = cand.id_a
+              join vn y on y.vec_id = cand.id_b)
         select id_a, id_b, sim from s
         where sim >= {_ND_BANDED["threshold"]}
     """
@@ -3747,12 +3753,10 @@ def oracle_sql() -> dict[str, str]:
         from e group by label, dim
     """
 
-    sql["knn_cc"] = """
-        with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    sql["knn_cc"] = f"""
+        with v as {_VN},
         s as (select a.vec_id as ida, b.vec_id as idb,
-                     round(list_dot_product(a.vv, b.vv)
-                         / (sqrt(list_dot_product(a.vv, a.vv))
-                            * sqrt(list_dot_product(b.vv, b.vv))), 6) as sim
+                     round(list_dot_product(a.vn, b.vn), 6) as sim
               from v a cross join v b where a.vec_id <> b.vec_id),
         top as (select ida, idb from (
                   select *, row_number() over (partition by ida
@@ -3800,10 +3804,15 @@ def oracle_sql() -> dict[str, str]:
                             {_cos.format(a='v.vv', b='cents.cent')} desc,
                             cents.list asc) as rn
                  from v cross join cents) where rn = 1),
+        mn as (select vec_id, list,
+                      case when nrm = 0 then list_transform(vv, x -> 0.0)
+                           else list_transform(vv, x -> x / nrm) end as vn
+               from (select *, sqrt(list_dot_product(vv, vv)) as nrm
+                     from member)),
         pairs as (select a.vec_id as ida, b.vec_id as idb
-                  from member a join member b
+                  from mn a join mn b
                     on a.list = b.list and a.vec_id < b.vec_id
-                  where {_cos.format(a='a.vv', b='b.vv')} >= 0.4),
+                  where round(list_dot_product(a.vn, b.vn), 6) >= 0.4),
         bi as (select ida as a, idb as b from pairs
                union select idb as a, ida as b from pairs),
         rec as (

@@ -73,6 +73,22 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _normalized(vectors: DataFrame, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(id, vn): unit-normalized double vectors, zero vectors kept as
+    zero (so any dot with them is 0 — cosine()'s convention).  Pair-wise
+    scorers normalize ONCE per row here and pay ONE interpreted
+    higher-order dot per pair instead of three (HOFs are the per-row
+    cost that dominates O(n²/buckets) pair stages)."""
+    return (vectors.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("nrm", _norm(F.col("v")))
+            .withColumn("vn", F.when(F.col("nrm") == 0.0,
+                                     F.expr("transform(v, x -> 0.0d)"))
+                        .otherwise(F.expr("transform(v, x -> x / nrm)")))
+            .select("id", "vn"))
+
+
 def cosine(a: Column, b: Column) -> Column:
     # zero-norm guard: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO,
     # so one all-zero embedding would abort every caller's whole job;
@@ -121,14 +137,13 @@ def knn_graph(vectors: DataFrame, k: int = 2, id_col: str = "vec_id",
     O(n²) scoring — exact small-scale path; swap in lsh_buckets blocking
     at scale.  `mutual=True` keeps only edges in both directions' top-k.
     """
-    a = vectors.select(F.col(id_col).alias("ida"),
-                       F.col(vec_col).cast("array<double>").alias("va"))
-    b = vectors.select(F.col(id_col).alias("idb"),
-                       F.col(vec_col).cast("array<double>").alias("vb"))
+    vn = _normalized(vectors, id_col, vec_col)
+    a = vn.select(F.col("id").alias("ida"), F.col("vn").alias("va"))
+    b = vn.select(F.col("id").alias("idb"), F.col("vn").alias("vb"))
     scored = (
         a.join(b, F.col("ida") != F.col("idb"))
         .select("ida", "idb",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+                F.round(_dot(F.col("va"), F.col("vb")), 6).alias("sim"))
     )
     w = Window.partitionBy("ida").orderBy(
         F.col("sim").desc(), F.col("idb").asc())
@@ -245,10 +260,9 @@ def near_dup_pairs(
     0.759 at r=4,b=8 → 0.955 at r=4,b=16, each within 2pp of theory).
     At 100 TB always use the blocked path.
     """
-    v = vectors.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    vn = _normalized(vectors, id_col, vec_col)
+    a = vn.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))
+    b = vn.select(F.col("id").alias("id_b"), F.col("vn").alias("vb"))
     if n_planes > 0:
         bk = banded_lsh_buckets(vectors, n_planes, n_bands,
                                 id_col, vec_col)
@@ -266,7 +280,7 @@ def near_dup_pairs(
     return (
         scored
         .select("id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+                F.round(_dot(F.col("va"), F.col("vb")), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -362,15 +376,25 @@ def semdedup(
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
     cents, member = coarse_quantizer(v, n_lists)
-    a = member.select("list", F.col("id").alias("id_a"),
-                      F.col("v").alias("va"))
-    b = member.select("list", F.col("id").alias("id_b"),
-                      F.col("v").alias("vb"))
+    # normalize ONCE per member (n rows), so each of the O(n²/lists)
+    # pair rows costs ONE higher-order dot instead of three (dot + two
+    # norms) — HOFs are interpreted per-row, so this is the pair
+    # stage's dominant cost.  Zero-norm vectors map to the zero vector
+    # (dot 0 < threshold), preserving cosine()'s sim-0 convention.
+    member_n = (
+        member.withColumn("nrm", _norm(F.col("v")))
+        .withColumn("vn", F.when(F.col("nrm") == 0.0,
+                                 F.expr("transform(v, x -> 0.0d)"))
+                    .otherwise(F.expr("transform(v, x -> x / nrm)"))))
+    a = member_n.select("list", F.col("id").alias("id_a"),
+                        F.col("vn").alias("va"))
+    b = member_n.select("list", F.col("id").alias("id_b"),
+                        F.col("vn").alias("vb"))
     pairs = (
         a.join(b, "list")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+                F.round(_dot(F.col("va"), F.col("vb")), 6).alias("sim"))
         .filter(F.col("sim") >= threshold))
     comps = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
