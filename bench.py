@@ -79,6 +79,11 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # drop any cache/plan state a query leaked so the next one is
+        # measured in isolation (a few % less cross-query drift)
+        spark.catalog.clearCache()
+        import gc
+        gc.collect()
 
     # --- north-rule pipeline: transcripts → canonical graph ---
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
