@@ -442,6 +442,42 @@ def q_kg_sql_entities(spark, sf_dir):
         "first_offset")
 
 
+def q_kg_sql_mentions(spark, sf_dir):
+    """E2 mentions replay on the REAL code path: the q_kg_sql_entities
+    extraction runs (same corpus + tails + configs) fed through the
+    real stages/extraction.mentions_table explode — one row per
+    find_mentions occurrence (entity/mod.rs:627-639) with start/end
+    offsets, duplicate-instance multiplicity included (:798-819).  The
+    oracle enumerates non-overlapping occurrences with a recursive CTE
+    over the shared extraction CTEs."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.extraction import (
+        extract_chunk_entities, mentions_table)
+
+    d = _docs(spark, sf_dir)
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _KG_ENT_TAILS]),
+        (F.col("doc_id") % len(_KG_ENT_TAILS)).cast("int") + 1)
+    chunks = d.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), tail).alias("content"))
+    cfg_ol = _dc_replace(DEFAULT_CONFIG,
+                         entity_types=("ORGANIZATION", "LOCATION"))
+    cfg_p = _dc_replace(DEFAULT_CONFIG, entity_types=("PERSON",),
+                        min_confidence=0.95)
+    ce = extract_chunk_entities(chunks, cfg_ol) \
+        .unionByName(extract_chunk_entities(chunks, cfg_p))
+    m = mentions_table(ce)
+    return m.select(
+        F.col("chunk_id").cast("bigint").alias("doc_id"),
+        "entity_id",
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.col("end_offset").cast("bigint").alias("end_offset"),
+        F.round("confidence", 6).alias("confidence"))
+
+
 # Bait tails for the E1a-e replay (doc_id % 4): concept indicators +
 # capitalized->4-char branch, event/object dictionary scans, and the
 # FUNCTION/STRUCT code-pattern regexes (entity/mod.rs:140-169).
@@ -2100,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_sql_entities": q_kg_sql_entities,
         "kg_sql_entities2": q_kg_sql_entities2,
+        "kg_sql_mentions": q_kg_sql_mentions,
         "inferred_relations": q_inferred_relations,
         "sample_split": q_sample_split,
         "top_growing": q_top_growing,
@@ -3107,7 +3144,7 @@ def oracle_sql() -> dict[str, str]:
                     or contains(name, 'Institute') then 0.2 else 0.0 end
            + case when substr(name, 1, 1) between 'A' and 'Z'
                   then 0.1 else 0.0 end, 1.0)"""
-    sql["kg_sql_entities"] = f"""
+    _kg_ent_ctes = f"""
         with t as (
           select doc_id,
                  text || ' ' || ([{_tails}])[(doc_id % 6)::INT + 1] as text
@@ -3201,6 +3238,10 @@ def oracle_sql() -> dict[str, str]:
                  max(confidence) as confidence,
                  sum(n_inst)::BIGINT as tot_inst
           from inst group by doc_id, text, name, entity_type)
+"""
+    _kg_ent_eid = ("entity_type || '_' || regexp_replace(lower(name), "
+                   "'[^a-z0-9_]+', '', 'g')")
+    sql["kg_sql_entities"] = _kg_ent_ctes + f"""
         select doc_id,
                entity_type || '_'
                  || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
@@ -3212,6 +3253,41 @@ def oracle_sql() -> dict[str, str]:
                (case when strpos(text, name) > 0 then strpos(text, name) - 1
                      else 1152921504606846976 end)::BIGINT as first_offset
         from agg
+    """
+    # E2 mentions replay (see q_kg_sql_mentions): the same extraction
+    # CTEs, then per (doc, entity) every NON-OVERLAPPING occurrence of
+    # the cased name enumerated left-to-right by a recursive CTE —
+    # exactly find_mentions' scan (entity/mod.rs:627-639) — with each
+    # position replicated tot_inst times (the per-chunk dedup merge
+    # concatenates duplicate instances' mention lists, :798-819).
+    sql["kg_sql_mentions"] = _kg_ent_ctes + """
+        , occ as (
+          with recursive o(doc_id, text, name, entity_type, confidence,
+                           tot_inst, pos0) as (
+            select doc_id, text, name, entity_type, confidence, tot_inst,
+                   (strpos(text, name) - 1)::BIGINT
+            from agg where strpos(text, name) > 0
+            union all
+            select doc_id, text, name, entity_type, confidence, tot_inst,
+                   pos0 + length(name)
+                     + strpos(substr(text,
+                                     (pos0 + length(name) + 1)::INT),
+                              name) - 1
+            from o
+            where strpos(substr(text, (pos0 + length(name) + 1)::INT),
+                         name) > 0)
+          select * from o)
+        select doc_id, entity_id, start_offset, end_offset, confidence
+        from (
+          select doc_id,
+                 entity_type || '_'
+                   || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                   as entity_id,
+                 pos0::BIGINT as start_offset,
+                 (pos0 + length(name))::BIGINT as end_offset,
+                 round(confidence, 6) as confidence,
+                 unnest(generate_series(1, tot_inst)) as rep
+          from occ)
     """
     # E1a-e replay (see q_kg_sql_entities2): CONCEPT word branches,
     # EVENT/OBJECT dictionary scans, FUNCTION/STRUCT regex captures —
