@@ -478,6 +478,41 @@ def q_kg_sql_mentions(spark, sf_dir):
         F.round("confidence", 6).alias("confidence"))
 
 
+def q_kg_sql_triples2(spark, sf_dir):
+    """R1-R5 driven by the REAL EXTRACTION path end-to-end: the
+    q_kg_sql_entities extractor runs feed the real
+    stages/triples.emit_triple_mentions — mention-presence filter
+    (lib.rs:545-556), (first_offset, entity_id)-ordered pair emission
+    (entity/mod.rs:822-849) and the infer_relationship_type when-chain
+    (:851-889) — rolled up per (subj, pred, obj).  With kg_sql_triples
+    (dictionary-NER-driven, keyword-rich corpus) this certifies the
+    chunk→entities→triples chain with extraction in the loop; the
+    oracle replays pair ordering and the rule table over the shared
+    extraction CTEs."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+    from graphrag_rs_spark.stages.triples import emit_triple_mentions
+
+    d = _docs(spark, sf_dir)
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _KG_ENT_TAILS]),
+        (F.col("doc_id") % len(_KG_ENT_TAILS)).cast("int") + 1)
+    chunks = d.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), tail).alias("content"))
+    cfg_ol = _dc_replace(DEFAULT_CONFIG,
+                         entity_types=("ORGANIZATION", "LOCATION"))
+    cfg_p = _dc_replace(DEFAULT_CONFIG, entity_types=("PERSON",),
+                        min_confidence=0.95)
+    ce = extract_chunk_entities(chunks, cfg_ol) \
+        .unionByName(extract_chunk_entities(chunks, cfg_p))
+    tm = emit_triple_mentions(ce, chunks)
+    return tm.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_context"))
+
+
 # Bait tails for the E1a-e replay (doc_id % 4): concept indicators +
 # capitalized->4-char branch, event/object dictionary scans, and the
 # FUNCTION/STRUCT code-pattern regexes (entity/mod.rs:140-169).
@@ -2137,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_entities": q_kg_sql_entities,
         "kg_sql_entities2": q_kg_sql_entities2,
         "kg_sql_mentions": q_kg_sql_mentions,
+        "kg_sql_triples2": q_kg_sql_triples2,
         "inferred_relations": q_inferred_relations,
         "sample_split": q_sample_split,
         "top_growing": q_top_growing,
@@ -3288,6 +3324,63 @@ def oracle_sql() -> dict[str, str]:
                  round(confidence, 6) as confidence,
                  unnest(generate_series(1, tot_inst)) as rep
           from occ)
+    """
+    # R1-R5 extraction-driven replay (see q_kg_sql_triples2): mention
+    # filter = at least one cased occurrence; pair order =
+    # (first_offset, entity_id); predicate = the infer_relationship_type
+    # rule table with the context-keyword flags computed on the same
+    # tail-augmented text.
+    sql["kg_sql_triples2"] = _kg_ent_ctes + """
+        , ments as (
+          select doc_id, text,
+                 entity_type || '_'
+                   || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                   as entity_id,
+                 entity_type,
+                 (strpos(text, name) - 1)::BIGINT as first_offset
+          from agg where strpos(text, name) > 0),
+        tpairs as (
+          select a.doc_id, a.text,
+                 a.entity_id as subj, a.entity_type as t1,
+                 b.entity_id as obj, b.entity_type as t2
+          from ments a join ments b on a.doc_id = b.doc_id
+           and ((a.first_offset < b.first_offset)
+                or (a.first_offset = b.first_offset
+                    and a.entity_id < b.entity_id))),
+        tm2 as (
+          select subj,
+            case
+              when (t1 = 'PERSON' and t2 = 'ORGANIZATION')
+                or (t1 = 'ORGANIZATION' and t2 = 'PERSON') then
+                case when contains(text, 'works for')
+                       or contains(text, 'employed by') then 'WORKS_FOR'
+                     when contains(text, 'founded')
+                       or contains(text, 'CEO') then 'LEADS'
+                     else 'ASSOCIATED_WITH' end
+              when (t1 = 'PERSON' and t2 = 'LOCATION')
+                or (t1 = 'LOCATION' and t2 = 'PERSON') then
+                case when contains(text, 'born in')
+                       or contains(text, 'from') then 'BORN_IN'
+                     when contains(text, 'lives in')
+                       or contains(text, 'based in') then 'LOCATED_IN'
+                     else 'ASSOCIATED_WITH' end
+              when (t1 = 'ORGANIZATION' and t2 = 'LOCATION')
+                or (t1 = 'LOCATION' and t2 = 'ORGANIZATION') then
+                case when contains(text, 'headquartered')
+                       or contains(text, 'based in')
+                       then 'HEADQUARTERED_IN'
+                     else 'LOCATED_IN' end
+              when t1 = 'PERSON' and t2 = 'PERSON' then
+                case when contains(text, 'married')
+                       or contains(text, 'spouse') then 'MARRIED_TO'
+                     when contains(text, 'colleague')
+                       or contains(text, 'partner') then 'COLLEAGUE_OF'
+                     else 'KNOWS' end
+              else 'RELATED_TO' end as pred,
+            obj
+          from tpairs)
+        select subj, pred, obj, count(*)::BIGINT as n_context
+        from tm2 group by subj, pred, obj
     """
     # E1a-e replay (see q_kg_sql_entities2): CONCEPT word branches,
     # EVENT/OBJECT dictionary scans, FUNCTION/STRUCT regex captures —
