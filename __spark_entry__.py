@@ -2198,13 +2198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_real": q_mixture_real,
         "dsir_select": q_dsir_select,
         "source_stats": q_source_stats,
-        "md_sections": q_md_sections,
         "corpus_entities": q_corpus_entities,
         "qa_eval": q_qa_eval,
         "cross_rerank": q_cross_rerank,
         "query_rewrite": q_query_rewrite,
         "contamination": q_contamination,
-        "html_sections": q_html_sections,
         "lm_perplexity": q_lm_perplexity,
         "noun_phrases": q_noun_phrases,
         "repetition_stats": q_repetition_stats,
@@ -2228,6 +2226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_emb": q_quantize_emb,
         "quantized_knn": q_quantized_knn,
         "rerank_stats": q_rerank_stats,
+        "md_sections": q_md_sections,
+        "html_sections": q_html_sections,
         "bpe_pair_counts": q_bpe_pair_counts,
         "reassembly_check": q_reassembly_check,
         "dedup_exact": q_dedup_exact,
