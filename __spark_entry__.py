@@ -5640,7 +5640,13 @@ def oracle_sql() -> dict[str, str]:
                    rows between unbounded preceding and current row)
                  - n_tokens as start_offset
           from base)
-        select doc_id, pack_group, n_tokens, start_offset,
+        select doc_id, pack_group, n_tokens,
+               -- DuckDB sum() OVER returns HUGEINT (int128); pyarrow has
+               -- no int128, so an uncast start_offset canonicalizes
+               -- differently from Spark's bigint in the driver's value
+               -- hash (the r4 red row — the ONLY hugeint-typed output
+               -- column across all 114 oracles). Cast restores parity.
+               start_offset::BIGINT as start_offset,
                (pack_group::BIGINT * 4294967296
                 + (start_offset // 200))::BIGINT as bin_first,
                (pack_group::BIGINT * 4294967296

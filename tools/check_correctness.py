@@ -73,6 +73,18 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [d[0] for d in rel.description]
+            # Types with no pyarrow/pandas equivalent (HUGEINT = int128)
+            # stringify identically here but canonicalize differently in
+            # the driver's arrow-based value hash — the exact failure mode
+            # of the r4 pack_bins red row. Fail fast on them.
+            exotic = [(c, str(t)) for c, t in zip(dcols, rel.types)
+                      if str(t) in ("HUGEINT", "UHUGEINT")
+                      or str(t).startswith("DECIMAL")]
+            if exotic:
+                failures.append(name)
+                print(f"FAIL  {name}: oracle emits non-portable types "
+                      f"{exotic} — cast to BIGINT/DOUBLE in the SQL")
+                continue
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
