@@ -46,12 +46,9 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
     h = nodes.crossJoin(F.broadcast(n_total)) \
         .select("node", (F.lit(1.0) / F.col("_n")).alias("score"))
 
-    cached: list[DataFrame] = []
-
     def _half(frm: DataFrame, key: str, out: str) -> DataFrame:
         """One half-step: pull scores across edges onto `out`-side nodes,
-        then L1-normalize.  `key` is the edge column the current scores
-        sit on; `out` the column they flow to."""
+        then L1-normalize; returns an eagerly-checkpointed frame."""
         raw = (
             e.join(frm, e[key] == frm["node"])
             .groupBy(e[out].alias("node"))
@@ -61,31 +58,33 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
         # normalize join; persisted, the broadcast job materializes it
         # once and the main stage reuses the cache — uncached, every
         # half-step ran the edge join + aggregation twice (measured
-        # ~30% of the loop's wall).  Unpersisted after the loop.
-        cached.append(raw)
+        # ~30% of the loop's wall).  The eager localCheckpoint below
+        # consumes both readers, so raw is unpersisted immediately —
+        # holding every iteration's node-sized aggregate until the end
+        # of the loop was pure executor-storage dead weight (ADVICE r4).
         total = raw.agg(F.sum("x").alias("_t"))
-        return (
+        stepped = (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(total))
             .select("node",
                     F.when(F.col("_t") > 0,
                            F.coalesce("x", F.lit(0.0)) / F.col("_t"))
                     .otherwise(0.0).alias("score"))
-        )
+        ).localCheckpoint(eager=True)
+        raw.unpersist()
+        return stepped
 
     # iterations == 0 → uniform init for both sides, mirroring pagerank's
     # and lpa's graceful zero-iteration behavior (a=None would crash below)
     a = h
     for _ in range(int(iterations)):
-        a = _half(h, "src", "dst").localCheckpoint(eager=True)
-        h = _half(a, "dst", "src").localCheckpoint(eager=True)
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
     out = (
         h.select("node", F.round("score", 8).alias("hub"))
         .join(a.select("node", F.round("score", 8).alias("authority")),
               "node")
     )
-    for c in cached:
-        c.unpersist()
     e.unpersist()
     nodes.unpersist()
     return out

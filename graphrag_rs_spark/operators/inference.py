@@ -181,7 +181,10 @@ def infer_relationships(
     spark = chunks.sparkSession
     tdf = spark.createDataFrame([(t,) for t in targets], "target_id string")
 
-    ce = chunk_entities.select("chunk_id", "entity_id")
+    # distinct: the reference's chunk.entities is a HashSet
+    # (inference.rs:120) — duplicate (chunk_id, entity_id) rows would
+    # inflate both the evidence sums and the n_chunks denominator
+    ce = chunk_entities.select("chunk_id", "entity_id").distinct()
     # chunks containing a target: tiny (|targets| × their chunk count)
     tc = ce.join(F.broadcast(tdf),
                  ce.entity_id == tdf.target_id).select("target_id",

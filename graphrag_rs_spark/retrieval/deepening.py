@@ -144,7 +144,11 @@ def iterative_deepening(
         # MUST be explicit: the frontier is tiny at shuffle time and
         # AQE would coalesce an unnumbered repartition to ~1 partition,
         # single-threading the 8800×-fan-out join that follows.
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        conf_val = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_part = int(conf_val)
+        except ValueError:  # e.g. "auto" on AQE-managed platforms
+            n_part = spark.sparkContext.defaultParallelism
         frontier = not_stopped(cur_parts[d]).repartition(n_part,
                                                          "query_id")
         new_chunks = (frontier.join(cc, frontier["concept"]

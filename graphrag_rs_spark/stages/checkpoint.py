@@ -31,10 +31,18 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHECKPOINT_SCHEMA = ("run_id string, stage string, partition_id int, "
-                     "rows long, checksum long, status string, ts double")
+                     "rows long, checksum long, status string, ts double, "
+                     "seq long")
 
 
 class CheckpointManager:
+    """Single writer per workdir at a time (the resume contract): two
+    drivers appending concurrently can mint the same seq, and parquet
+    appends are not atomic across files. The seq + deterministic
+    tiebreak below makes SEQUENTIAL runs (including killed ones) order
+    reliably without trusting wall clocks; true concurrent writers need
+    the Iceberg deployment's optimistic commit (see module docstring)."""
+
     def __init__(self, spark: SparkSession, workdir: str, run_id: str):
         self.spark = spark
         self.workdir = workdir
@@ -44,14 +52,32 @@ class CheckpointManager:
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    def _read_ckpt(self) -> DataFrame:
+        ck = self.spark.read.parquet(self.ckpt_dir)
+        if "seq" not in ck.columns:  # pre-seq layout compatibility
+            ck = ck.withColumn("seq", F.lit(0).cast("long"))
+        return ck
+
+    def _next_seq(self) -> int:
+        """Monotonic event counter: max existing seq + 1, read at append
+        time. Orders events without trusting wall-clock ts (ADVICE r4:
+        time.time() ties broke nondeterministically and clock skew
+        between drivers on a shared filesystem could mis-order)."""
+        if not os.path.exists(self.ckpt_dir):
+            return 1
+        row = self._read_ckpt().agg(F.max("seq").alias("m")).collect()[0]
+        return int(row["m"] or 0) + 1
+
     def _append(self, rows: list[tuple]) -> None:
-        df = self.spark.createDataFrame(rows, schema=CHECKPOINT_SCHEMA)
+        seq = self._next_seq()
+        df = self.spark.createDataFrame(
+            [r + (seq,) for r in rows], schema=CHECKPOINT_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.ckpt_dir)
 
     def completed(self, stage: str) -> bool:
         if not os.path.exists(self.ckpt_dir):
             return False
-        ck = self.spark.read.parquet(self.ckpt_dir)
+        ck = self._read_ckpt()
         # run_id scopes the resume decision BOTH ways (ADVICE r3): a new
         # run must not adopt another run's outputs, AND an old run must
         # not resume onto a stage dir another run has since overwritten
@@ -59,10 +85,18 @@ class CheckpointManager:
         # so the LATEST summary event for the stage decides.  run_stage
         # appends a 'writing' event BEFORE its overwrite, so even a
         # crashed foreign overwrite invalidates stale committed markers.
-        # partition_id -1 = commit summary, -2 = pre-overwrite intent
+        # partition_id -1 = commit summary, -2 = pre-overwrite intent.
+        # Ordering: seq (monotonic, clock-free) first; (ts, run_id,
+        # partition_id) as a fully deterministic tiebreak for legacy
+        # rows and the documented same-seq concurrent-writer edge —
+        # intent rows (-2 < -1) win ties, i.e. ambiguity re-runs the
+        # stage rather than adopting a possibly-stale output.
         last = (ck.filter((F.col("stage") == stage)
                           & (F.col("partition_id") < 0))
-                .orderBy(F.col("ts").desc()).limit(1).collect())
+                .orderBy(F.col("seq").desc(), F.col("ts").desc(),
+                         F.col("run_id").desc(),
+                         F.col("partition_id").asc())
+                .limit(1).collect())
         return (bool(last)
                 and last[0].run_id == self.run_id
                 and last[0].status == "committed"
