@@ -562,6 +562,63 @@ def q_kg_sql_entities2(spark, sf_dir):
         "first_offset")
 
 
+# Bait tails (doc_id % 6) for the PERSON phase 2-4 replay.  The corpus
+# text is all-lowercase, so every phase hit comes from these tails —
+# designed so each branch fires somewhere: title+two-word take
+# (Dr Emily Johnson), title+one-word (third not capitalized / end of
+# text), title whose next word is lowercase (no marks at all),
+# two-word First Last incl. 2-letter prefix names (Mc Vey, De Vries),
+# NON_PERSON and SHORT_NON_NAMES rejections (Chapter/The/He), a
+# hyphenated name whose cleaned form never occurs in the text
+# (MaryJane Watson → zero mentions, first-offset sentinel), phase-1
+# marks blocking later phases (Guardian Entity / Second Entity Name),
+# and a duplicated single name (Tom ×2 → instance-multiplied mentions).
+_KG_PERSON_TAILS = [
+    "Dr Emily Johnson spoke with Mc Vey today.",
+    "mrs Watson went home to Boston Harbor.",
+    "Guardian Entity met Captain Rogers.",
+    "Second Entity Name and Anna Marie Louise arrived.",
+    "Tom visited Chapter The Willson and Mary-Jane Watson.",
+    "dr mr Smith waited as He and De Vries left Tom stay Tom go.",
+]
+
+
+def q_kg_sql_persons(spark, sf_dir):
+    """PERSON phases 2-4 replay on the REAL code path (the same
+    mapInPandas as q_kg_sql_entities): title-based names
+    (entity/mod.rs:424-471, conf 0.9), two-word First Last (:474-513,
+    conf 0.8) and single capitalized words (:339-358, conf 0.6), with
+    the ORDER-DEPENDENT processed-index set shared across phases.
+    min_confidence=0.6 admits every phase (kg_sql_entities' 0.95 cut
+    them off).  The oracle exploits that a phase's in-phase marks only
+    reach 2 positions ahead of the scan cursor, so the processed set
+    reduces to a 2-bit rolling state — phases 2 and 3 each replay as a
+    positional recursive CTE carrying (marked(i), marked(i+1)), phase 1
+    as the kg_sql_entities parity-island scan, phase 4 as a plain
+    predicate over the union of all marks."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+
+    d = _docs(spark, sf_dir)
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _KG_PERSON_TAILS]),
+        (F.col("doc_id") % len(_KG_PERSON_TAILS)).cast("int") + 1)
+    chunks = d.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), tail).alias("content"))
+    cfg = _dc_replace(DEFAULT_CONFIG, entity_types=("PERSON",),
+                      min_confidence=0.6)
+    out = extract_chunk_entities(chunks, cfg)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "entity_id", "name", "entity_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.size("mention_starts").cast("bigint").alias("n_mentions"),
+        "first_offset")
+
+
 # Bait tails (doc_id % 5) for the inference replay: friendship,
 # negative, family and no-op pattern mixes so every scoring branch of
 # inference.rs:158-273 fires somewhere in the corpus.
@@ -2172,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_entities": q_kg_sql_entities,
         "kg_sql_entities2": q_kg_sql_entities2,
         "kg_sql_mentions": q_kg_sql_mentions,
+        "kg_sql_persons": q_kg_sql_persons,
         "kg_sql_triples2": q_kg_sql_triples2,
         "inferred_relations": q_inferred_relations,
         "sample_split": q_sample_split,
@@ -3455,6 +3513,189 @@ def oracle_sql() -> dict[str, str]:
                  as entity_id,
                name, entity_type,
                round(confidence::DOUBLE, 6) as confidence,
+               (tot_inst * ((length(text) - length(replace(text, name, '')))
+                            // length(name)))::BIGINT as n_mentions,
+               (case when strpos(text, name) > 0 then strpos(text, name) - 1
+                     else 1152921504606846976 end)::BIGINT as first_offset
+        from agg
+    """
+    # PERSON phases 2-4 replay (see q_kg_sql_persons).  The key
+    # reduction: a phase's own processed-marks at scan position i can
+    # only have come from scans at j < i, and a scan at j marks at most
+    # j..j+2 — so when the cursor reaches i, the only in-phase marks
+    # that can matter are on i and i+1.  Phase 2 therefore replays as a
+    # positional recursive CTE with a 2-bit rolling state
+    # (m0 = phase2-marked(i), m1 = phase2-marked(i+1); transition
+    # m0' = m1 OR fire, m1' = fire AND third — entity/mod.rs:424-471),
+    # phase 3 with a 1-bit state (marks reach only j+1, :474-513),
+    # phase 1 as the kg_sql_entities parity-island scan (:364-421) and
+    # phase 4 as a plain predicate (:339-358) over the mark union.
+    # The fire predicates are interpolated from ONE Python string each
+    # so the recursion step and the emission post-pass cannot drift.
+    _p_tails = ", ".join(f"'{t}'" for t in _KG_PERSON_TAILS)
+    _p_titles = ", ".join(f"'{w}'" for w in sorted(_rl.PERSON_TITLES))
+    _p_nonp = ", ".join(f"'{w}'" for w in sorted(_rl.NON_PERSON_WORDS))
+    _p_short = ", ".join(f"'{w}'" for w in sorted(_rl.SHORT_NON_NAMES))
+    _p_end = " or ".join(f"ends_with(lw, '{e}')"
+                         for e in _rl.NAME_ENDINGS)
+    _p_pre = " or ".join("starts_with(lw, '" + p.replace("'", "''") + "')"
+                         for p in _rl.NAME_PREFIXES)
+    # fire predicates shared verbatim between the recursion step and the
+    # emission post-pass (aliases: s = state, a/b/c = words i, i+1, i+2)
+    # {s} = the state-table alias (the recursion uses s2r/s3r, the
+    # emission post-pass s) so ONE predicate string serves both sites
+    _fire2t = ("(not {s}.m0 and not a.p1m and a.title and {s}.i < {s}.n "
+               "and not {s}.m1 and not coalesce(b.p1m, true) "
+               "and coalesce(b.capr, false) and coalesce(b.likely, false))")
+    _third2t = ("({s}.i + 2 <= {s}.n and not coalesce(c.p1m, true) "
+                "and coalesce(c.capr, false) and coalesce(c.likely, false))")
+    _fire3t = ("(not {s}.m0 and not a.p12m and {s}.i < {s}.n "
+               "and not coalesce(b.p12m, true) "
+               "and a.capr and a.likely and not a.nonp "
+               "and coalesce(b.capr, false) and coalesce(b.likely, false) "
+               "and not coalesce(b.nonp, true))")
+    _fire2, _third2, _fire3 = (_fire2t.format(s="s"),
+                               _third2t.format(s="s"),
+                               _fire3t.format(s="s"))
+    _fire2r, _third2r, _fire3r = (_fire2t.format(s="s2r"),
+                                  _third2t.format(s="s2r"),
+                                  _fire3t.format(s="s3r"))
+    sql["kg_sql_persons"] = f"""
+        with pt as (
+          select doc_id,
+                 text || ' ' || ([{_p_tails}])[(doc_id % 6)::INT + 1]
+                   as text
+          from documents),
+        tk as materialized (
+          select doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') as ws
+          from pt),
+        pn as materialized (select doc_id, len(ws)::BIGINT as n from tk),
+        pw as materialized (
+          select doc_id, i, raw, clean, lw,
+                 substr(raw, 1, 1) between 'A' and 'Z' as capr,
+                 (length(clean) >= 2
+                  and not (length(clean) <= 2 and lw in ({_p_short}))
+                  and substr(clean, 1, 1) between 'A' and 'Z'
+                  and (length(clean) >= 3 or {_p_end} or {_p_pre}))
+                   as likely,
+                 lw in ({_p_titles}) as title,
+                 lw in ({_p_nonp}) as nonp
+          from (select doc_id, i, raw, clean, lower(clean) as lw
+                from (select doc_id,
+                             generate_subscripts(ws, 1)::BIGINT as i,
+                             unnest(ws) as raw,
+                             rtrim(regexp_replace(unnest(ws),
+                                     '[^A-Za-z'']+', '', 'g'),
+                                   '''') as clean
+                      from tk))),
+        cand1 as materialized (
+          select a.doc_id, a.i, k.nm
+          from pw a
+          join pw b on b.doc_id = a.doc_id and b.i = a.i + 1
+          join (values {_knv}) k(w1, w2, nm)
+            on k.w1 = a.lw and k.w2 = b.lw),
+        isl1 as (
+          select doc_id, i, nm,
+                 i - row_number() over (partition by doc_id
+                                        order by i) as grp
+          from cand1),
+        kept1 as materialized (
+          select doc_id, i, nm from (
+            select doc_id, i, nm,
+                   min(i) over (partition by doc_id, grp) as s
+            from isl1)
+          where (i - s) % 2 = 0),
+        p1 as materialized (select doc_id, i from kept1
+               union select doc_id, i + 1 from kept1),
+        w1 as materialized (
+          select pw.*, (p1.i is not null) as p1m
+          from pw left join p1
+            on p1.doc_id = pw.doc_id and p1.i = pw.i),
+        s2 as materialized (
+          with recursive s2r(doc_id, i, n, m0, m1) as (
+            select doc_id, 1::BIGINT, n, false, false from pn
+            where n >= 1
+            union all
+            select doc_id, i + 1, n, (m1 or fire), (fire and third)
+            from (
+              select s2r.doc_id, s2r.i, s2r.n, s2r.m0, s2r.m1,
+                     {_fire2r} as fire, {_third2r} as third
+              from s2r
+              join w1 a on a.doc_id = s2r.doc_id and a.i = s2r.i
+              left join w1 b on b.doc_id = s2r.doc_id and b.i = s2r.i + 1
+              left join w1 c on c.doc_id = s2r.doc_id and c.i = s2r.i + 2
+              where s2r.i < s2r.n))
+          select * from s2r),
+        f2 as materialized (
+          select s.doc_id, s.i, {_fire2} as fire, {_third2} as third,
+                 b.clean as c1, c.clean as c2
+          from s2 s
+          join w1 a on a.doc_id = s.doc_id and a.i = s.i
+          left join w1 b on b.doc_id = s.doc_id and b.i = s.i + 1
+          left join w1 c on c.doc_id = s.doc_id and c.i = s.i + 2),
+        e2 as (
+          select doc_id,
+                 c1 || case when third then ' ' || c2 else '' end as name,
+                 0.9::DOUBLE as confidence
+          from f2 where fire),
+        p2 as materialized (select doc_id, i from f2 where fire
+               union select doc_id, i + 1 from f2 where fire
+               union select doc_id, i + 2 from f2 where fire and third),
+        w2 as materialized (
+          select w1.*, (w1.p1m or p2.i is not null) as p12m
+          from w1 left join p2
+            on p2.doc_id = w1.doc_id and p2.i = w1.i),
+        s3 as materialized (
+          with recursive s3r(doc_id, i, n, m0) as (
+            select doc_id, 1::BIGINT, n, false from pn where n >= 1
+            union all
+            select doc_id, i + 1, n, fire
+            from (
+              select s3r.doc_id, s3r.i, s3r.n, {_fire3r} as fire
+              from s3r
+              join w2 a on a.doc_id = s3r.doc_id and a.i = s3r.i
+              left join w2 b on b.doc_id = s3r.doc_id and b.i = s3r.i + 1
+              where s3r.i < s3r.n))
+          select * from s3r),
+        f3 as materialized (
+          select s.doc_id, s.i, {_fire3} as fire,
+                 a.clean as c0, b.clean as c1
+          from s3 s
+          join w2 a on a.doc_id = s.doc_id and a.i = s.i
+          left join w2 b on b.doc_id = s.doc_id and b.i = s.i + 1),
+        e3 as (select doc_id, c0 || ' ' || c1 as name,
+                      0.8::DOUBLE as confidence
+               from f3 where fire),
+        p3 as materialized (select doc_id, i from f3 where fire
+               union select doc_id, i + 1 from f3 where fire),
+        w3 as materialized (
+          select w2.*, (w2.p12m or p3.i is not null) as p123m
+          from w2 left join p3
+            on p3.doc_id = w2.doc_id and p3.i = w2.i),
+        e4 as (
+          select doc_id, clean as name, 0.6::DOUBLE as confidence
+          from w3
+          where not p123m and length(clean) >= 2 and not nonp
+            and capr and likely),
+        e1 as (select doc_id, nm as name, 0.95::DOUBLE as confidence
+               from kept1),
+        inst as (
+          select * from e1 union all select * from e2
+          union all select * from e3 union all select * from e4),
+        agg as (
+          select i.doc_id, pt.text, i.name,
+                 max(i.confidence) as confidence,
+                 count(*)::BIGINT as tot_inst
+          from inst i join pt using (doc_id)
+          group by i.doc_id, pt.text, i.name)
+        select doc_id,
+               'PERSON_'
+                 || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                 as entity_id,
+               name, 'PERSON' as entity_type,
+               round(confidence, 6) as confidence,
                (tot_inst * ((length(text) - length(replace(text, name, '')))
                             // length(name)))::BIGINT as n_mentions,
                (case when strpos(text, name) > 0 then strpos(text, name) - 1
