@@ -106,3 +106,25 @@ def test_crashed_foreign_overwrite_invalidates(spark, tmp_path):
     b = CheckpointManager(spark, wd, "runB")
     b._append([("runB", "s", -2, 0, 0, "writing", time.time())])
     assert not a.completed("s")
+
+
+def test_seq_orders_events_without_wall_clock(spark, tmp_path):
+    """ADVICE r4: resume eligibility is decided by the monotonic per-
+    append seq, not wall-clock ts — equal or even INVERTED timestamps
+    (clock skew between drivers) must not change the outcome."""
+    from graphrag_rs_spark.stages.checkpoint import CheckpointManager
+    wd = str(tmp_path / "wd")
+    a = CheckpointManager(spark, wd, "runA")
+    a.run_stage("s", lambda: spark.range(5).toDF("v"))
+    ck = spark.read.parquet(os.path.join(wd, "_checkpoints"))
+    seqs = [r["seq"] for r in ck.orderBy("seq").collect()]
+    # one intent append then one commit append: strictly increasing
+    assert seqs == sorted(seqs) and len(set(seqs)) == 2
+    # foreign intent with a SKEWED (older) clock still invalidates:
+    # seq, not ts, decides
+    b = CheckpointManager(spark, wd, "runB")
+    b._append([("runB", "s", -2, 0, 0, "writing", 1.0)])  # ts in 1970
+    assert not a.completed("s")
+    # A recommits (any ts) → A eligible again, B never was
+    a.run_stage("s", lambda: spark.range(5).toDF("v"), resume=False)
+    assert a.completed("s") and not b.completed("s")
