@@ -2156,10 +2156,11 @@ def q_bpe_pair_counts(spark, sf_dir):
 
 def q_bpe_merges(spark, sf_dir):
     """Learned BPE merge table (24 merges over the distinct-word vocab;
-    per-merge work independent of corpus size). The argmax-iterate loop
-    is not one SQL query — rows-only here; merge order/pairs/frequencies
-    are pinned exactly against an independent pure-Python BPE in
-    tests/test_bpe.py."""
+    per-merge work independent of corpus size).  DuckDB-verified since
+    round 5: the training loop unrolls into 24 materialized CTE steps
+    (pagerank-oracle pattern) with greedy merge application via the
+    double-separator replace() trick — see the oracle comment.  Also
+    pinned against an independent pure-Python BPE in tests/test_bpe.py."""
     from graphrag_rs_spark.operators.bpe import bpe_train, merges_frame
     return merges_frame(
         spark, bpe_train(_docs(spark, sf_dir), num_merges=24))
@@ -2168,9 +2169,10 @@ def q_bpe_merges(spark, sf_dir):
 def q_bpe_encode(spark, sf_dir):
     """Corpus encoded with the learned merge table: merges rewrite only
     the distinct-word dictionary, corpus maps through a broadcast join.
-    Rows-only (DuckDB's RE2 lacks the lookarounds the exact greedy
-    rewrite needs); token sequences pinned vs pure-Python BPE in
-    tests/test_bpe.py."""
+    DuckDB-verified since round 5 (the oracle replays training AND
+    encoding — RE2's missing lookarounds are sidestepped by the
+    double-separator replace() encoding); token sequences additionally
+    pinned vs pure-Python BPE in tests/test_bpe.py."""
     from graphrag_rs_spark.operators.bpe import bpe_encode, bpe_train
     d = _docs(spark, sf_dir)
     merges = bpe_train(d, num_merges=24)
@@ -6204,6 +6206,80 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(1, len(cs) - 1)) as g(i))
         select lhs, rhs, sum(freq)::BIGINT as pair_freq
         from pairs group by lhs, rhs
+    """
+
+    # BPE TRAINING replay (operators/bpe.py bpe_train/bpe_encode, 24
+    # merges) — upgrades bpe_merges/bpe_encode from rows-only to
+    # hash-checked.  The Spark side's exact greedy left-to-right merge
+    # uses Java lookarounds, which DuckDB's RE2 lacks; the oracle
+    # instead represents a segmentation as a DOUBLE-separator string
+    # ('..a..b..' — words are [a-z0-9]+ so '.' can't collide) where
+    # plain replace() of '.a..b.' with '.ab.' IS exact greedy BPE: each
+    # match consumes one separator from the left pad-pair and one from
+    # the right, so the double-pad invariant is restored and adjacent
+    # merge sites stay matchable ('..a..a..a..a..' → '..aa..aa..',
+    # unlike a single-separator encoding where the consumed boundary
+    # breaks the second match).  The argmax-iterate loop unrolls like
+    # the pagerank oracle: per merge, pair counts (weighted by word
+    # freq) → one best row (cnt desc, l, r asc — the Spark tie-break)
+    # → vocab rewrite via LEFT JOIN ON TRUE so an early stop (no pair
+    # ≥ min_freq) degrades to identity steps exactly like the Spark
+    # loop's break.  Every step materialized (the v-chain is vocab-
+    # sized, ~hundreds of rows).
+    _bpe_n = 24
+    _bpe_chain = f"""
+        with v0 as materialized (
+          select word,
+                 '..' || array_to_string(regexp_extract_all(word, '.'),
+                                         '..') || '..' as sym,
+                 freq
+          from (select word, count(*)::BIGINT as freq
+                from (select unnest({_TOKS}) as word from documents)
+                group by word))"""
+    for _k in range(_bpe_n):
+        _bpe_chain += f""",
+        pc{_k} as materialized (
+          select syms[g.i] as l, syms[g.i + 1] as r,
+                 sum(freq)::BIGINT as cnt
+          from (select list_filter(string_split(sym, '..'),
+                                   x -> x <> '') as syms, freq
+                from v{_k}) s
+          cross join unnest(generate_series(1, len(syms) - 1)) as g(i)
+          group by l, r),
+        best{_k} as materialized (
+          select l, r, cnt from pc{_k} where cnt >= 2
+          order by cnt desc, l, r limit 1),
+        v{_k + 1} as materialized (
+          select v.word,
+                 case when b.l is not null
+                      then replace(v.sym,
+                                   '.' || b.l || '..' || b.r || '.',
+                                   '.' || b.l || b.r || '.')
+                      else v.sym end as sym,
+                 v.freq
+          from v{_k} v left join best{_k} b on true)"""
+    sql["bpe_merges"] = _bpe_chain + "\n" + "\n        union all\n".join(
+        f"        select {k}::INT as merge_idx, l as \"left\", "
+        f"r as \"right\", cnt as pair_freq from best{k}"
+        for k in range(_bpe_n))
+    sql["bpe_encode"] = _bpe_chain + f""",
+        wt as materialized (
+          select word, list_filter(string_split(sym, '..'),
+                                   x -> x <> '') as toks
+          from v{_bpe_n}),
+        nw as materialized (
+          select doc_id, g.i as pos, tl[g.i] as word
+          from (select doc_id, {_TOKS} as tl from documents) s
+          cross join unnest(generate_series(1, len(tl))) as g(i)),
+        dt as (
+          select nw.doc_id,
+                 flatten(list(wt.toks order by nw.pos)) as tokens,
+                 count(*)::BIGINT as n_words
+          from nw join wt using (word)
+          group by nw.doc_id)
+        select doc_id, n_words, len(tokens)::BIGINT as n_bpe_tokens,
+               array_to_string(tokens[1:12], ' ') as head_tokens
+        from dt
     """
 
     # DSIR importance resampling (operators/dsir.py): hashed

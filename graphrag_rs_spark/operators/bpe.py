@@ -30,11 +30,14 @@ segmentation exactly (e.g. 'aaaaa' + merge (a,a) → aa, aa, a).  Symbols
 stay in [a-z0-9]+ by construction (word normalization), so patterns
 need no escaping.
 
-Correctness evidence: `bpe_pair_counts` is DuckDB-value-verified (the
-counting kernel); the iterative merge loop and encoding are pinned in
-pytest against an independent pure-Python BPE implementation (the
-argmax-iterate loop is not expressible in one SQL query, and DuckDB's
-RE2 has no lookarounds — documented rows-only contract entries).
+Correctness evidence: `bpe_pair_counts`, `bpe_merges` AND `bpe_encode`
+are all DuckDB-value-verified — the training loop unrolls into
+per-merge CTE steps, and the greedy rewrite replays without lookarounds
+via a double-separator string encoding where plain replace() is exact
+greedy BPE (each match consumes one separator from each pad-pair,
+restoring the boundary invariant; see the oracle in __spark_entry__).
+The loop and encoding are additionally pinned in pytest against an
+independent pure-Python BPE implementation.
 
 Reference parity note: graphrag-rs has no tokenizer-training subsystem;
 this is a training-pipeline extension mandated by the task brief
