@@ -32,6 +32,21 @@ BENCH.md host-ceiling runs) so burstable-host drift is visible.
 
     python tools/scale_multijvm.py            # default 250k convs/shard
     SPARK_GRAFT_SCALE_CONVS=100000 python tools/scale_multijvm.py
+
+Two runner modes, because they answer different questions:
+
+  (default)  spark-submit job.py — the full CHECKPOINTED product
+             surface.  Its per-stage parquet materialization +
+             lineage barriers carry a large input-independent fixed
+             latency, which parallelizes trivially across JVMs and
+             therefore FLATTERS the efficiency number; reported with
+             that caveat.
+  --inprocess  each JVM runs the non-checkpointed run_pipeline (the
+             same kernel tools/scaling_run.py measures) over a
+             conv-hash quarter of the 8.57M-turn dataset — compute
+             dominates wall, so per-executor efficiency measures the
+             actual engine, not the orchestration.  This is the
+             authoritative number.
 """
 
 from __future__ import annotations
@@ -68,6 +83,69 @@ def _shards() -> list[str]:
             for q in range(N_JVMS)]
 
 
+def _quarter_shards() -> list[str]:
+    """Disjoint conv-hash quarters of ONE 2M-conv dataset — real shards
+    of a single corpus (what a 4-executor cluster would scan-split)."""
+    import duckdb
+    from graphrag_rs_spark.datagen import ensure_transcripts
+    src = ensure_transcripts(2_000_000, max_turns=120, seed=42)
+    paths = []
+    con = duckdb.connect()
+    for q in range(N_JVMS):
+        p = os.path.join(REPO, f"data/transcripts_2m_quarter{q}.parquet")
+        if not os.path.exists(p):
+            con.sql(f"copy (select * from read_parquet('{src}') "
+                    f"where hash(conv_id) % {N_JVMS} = {q}) "
+                    f"to '{p}' (format parquet)")
+        paths.append(p)
+    return paths
+
+
+def _child_inprocess(shard: str) -> None:
+    """One JVM's leg: non-checkpointed run_pipeline over a shard (the
+    scaling_run.py kernel); prints a JSON line with wall + turns."""
+    import time as _t
+    from graphrag_rs_spark.session import get_spark
+    from graphrag_rs_spark.config import PipelineConfig
+    from graphrag_rs_spark.stages.pipeline import run_pipeline
+
+    spark = get_spark("scale_child", master=f"local[{THREADS_PER_JVM}]",
+                      cfg=PipelineConfig(
+                          shuffle_partitions=THREADS_PER_JVM))
+    spark.sparkContext.setLogLevel("ERROR")
+    transcripts = spark.read.parquet(shard) \
+        .repartition(THREADS_PER_JVM).cache()
+    n_turns = transcripts.count()
+    t0 = _t.time()
+    res = run_pipeline(spark, transcripts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(ex.map(noop, [res.canonical_triples, res.communities,
+                           res.mentions]))
+    wall = round(_t.time() - t0, 2)
+    print(json.dumps({"turns": n_turns, "pipeline_sec": wall}),
+          flush=True)
+    spark.stop()
+
+
+def _submit_inprocess(shard: str, tag: str) -> dict:
+    env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": DRIVER_MEM}
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", shard],
+        cwd=REPO, env=env, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    wall = round(time.time() - t0, 2)
+    line = [ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    out = json.loads(line)
+    return {"tag": tag, "wall": wall, "turns": out["turns"],
+            "pipeline_sec": out["pipeline_sec"]}
+
+
 def _submit(shard: str, tag: str) -> dict:
     wd = f"/tmp/scale_mj_{tag}"
     subprocess.run(["rm", "-rf", wd], check=True)
@@ -91,12 +169,22 @@ def _submit(shard: str, tag: str) -> dict:
 
 
 def main() -> None:
-    shards = _shards()
+    if "--child" in sys.argv:
+        _child_inprocess(sys.argv[sys.argv.index("--child") + 1])
+        return
+    inproc = "--inprocess" in sys.argv
+    if inproc:
+        shards = _quarter_shards()
+        runner = _submit_inprocess
+    else:
+        shards = _shards()
+        runner = _submit
     result: dict = {"threads_per_jvm": THREADS_PER_JVM, "n_jvms": N_JVMS,
+                    "mode": "inprocess" if inproc else "spark-submit",
                     "convs_per_shard": CONVS, "driver_mem": DRIVER_MEM}
 
     result["cal_before_solo"] = _spin()
-    solo = _submit(shards[0], "solo")
+    solo = runner(shards[0], "solo")
     result["cal_after_solo"] = _spin()
     result["solo"] = solo
     result["solo_turns_per_sec"] = round(solo["turns"] / solo["wall"], 1)
@@ -104,7 +192,7 @@ def main() -> None:
     result["cal_before_quad"] = _spin()
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=N_JVMS) as ex:
-        quad = list(ex.map(lambda i: _submit(shards[i], f"q{i}"),
+        quad = list(ex.map(lambda i: runner(shards[i], f"q{i}"),
                            range(N_JVMS)))
     quad_wall = round(time.time() - t0, 2)
     result["cal_after_quad"] = _spin()
