@@ -2226,6 +2226,33 @@ def q_quality_classifier(spark, sf_dir):
     return score_quality(d, model, num_buckets=1024)
 
 
+def q_kg_sql_chunks(spark, sf_dir):
+    """T1 chunker replay on the REAL code path: the same mapInPandas
+    (stages/chunking.chunk_documents running reference_logic.chunk_text,
+    text/mod.rs:123-168) over documents lengthened deterministically to
+    ~4× (sentence punctuation injected between copies) so multi-chunk
+    splits, the 200-char sentence-boundary scan, the 50-char word-
+    boundary fallback and the 200-char overlap all fire.  The oracle
+    replays the sequential cursor loop as a positional recursive CTE
+    over (start, counter) — each step's boundary search is a bounded
+    200-char comprehension, and the per-step expressions are computed
+    once in a nested-subselect chain shared by the recursion and the
+    emission post-pass."""
+    from graphrag_rs_spark.stages.chunking import chunk_documents
+
+    d = _docs(spark, sf_dir)
+    content = F.concat(F.col("text"), F.lit(". "), F.col("text"),
+                       F.lit("! "), F.col("text"), F.lit("? "),
+                       F.col("text"), F.lit("."))
+    docs2 = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     content.alias("content"))
+    ch = chunk_documents(docs2)
+    return ch.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "chunk_id", "chunk_seq", "start_offset", "end_offset",
+        "content")
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """I1-I3 under the driver gate: a two-stage checkpointed run into a
     wiped workdir, then an IMMEDIATE same-run_id rerun that must
@@ -2295,7 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver-window head (the external gate checks ~50
         # entries from the front).  Round-5 composition, in priority
         # order: (1) pack_bins — the r4 red row, re-certify the fix;
-        # (2) the two queries NEW this round; (3) the 12 queries that
+        # (2) the queries NEW this round (kg_sql_persons,
+        # checkpoint_lineage, kg_sql_chunks); (3) the 12 queries that
         # had never appeared in any driver window (VERDICT r4 #2);
         # (4) every query whose implementation or oracle changed in
         # round 4 (similarity prenormalized-dot, MMR duplicate-id) or
@@ -2310,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "kg_sql_persons": q_kg_sql_persons,
         "checkpoint_lineage": q_checkpoint_lineage,
+        "kg_sql_chunks": q_kg_sql_chunks,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_stats": q_corpus_stats,
@@ -3644,6 +3673,75 @@ def oracle_sql() -> dict[str, str]:
     _fire2r, _third2r, _fire3r = (_fire2t.format(s="s2r"),
                                   _third2t.format(s="s2r"),
                                   _fire3t.format(s="s3r"))
+    # kg_sql_chunks (see q_kg_sql_chunks): chunk_text's sequential
+    # cursor loop (text/mod.rs:123-168) as a positional recursive CTE.
+    # Key simplification: end < n  ⟺  the window is exactly chunk_size
+    # (1000) long, so the sentence scan always covers [start+800,
+    # start+1000) and the word fallback [start+950, start+1000) — the
+    # offsets are hardcoded against DEFAULT_CONFIG (1000/200; the
+    # reference's 200-char sentence / 50-char word search windows).
+    # Boundary arithmetic (1-based j over the search text): sentence
+    # boundary = start+800+j (the reference's next_pos INCLUDES the
+    # punctuation char); word boundary = start+949+j (the space itself
+    # is EXCLUDED).  The step expression chain is one Python string
+    # used by both the recursion and the emission post-pass.
+    _ck_ws = "(' ', chr(9), chr(10), chr(13))"
+    _ck_step = f"""
+          select *,
+                 case when e < n2
+                      then coalesce(start + 800 + sbj, start + 949 + wbj, e)
+                      else e end as ae
+          from (
+            select *,
+                   list_max([j for j in generate_series(1, len(st))
+                             if substr(st, j, 1) in ('.', '!', '?')
+                             and (j = len(st)
+                                  or substr(st, j + 1, 1) in {_ck_ws})])
+                     as sbj,
+                   list_max([j for j in generate_series(1, len(st50))
+                             if substr(st50, j, 1) = ' ']) as wbj
+            from (
+              select {{r}}.doc_id, {{r}}.start, {{r}}.cnt,
+                     c.n as n2, c.content,
+                     least({{r}}.start + 1000, c.n) as e,
+                     case when least({{r}}.start + 1000, c.n) < c.n
+                          then substr(c.content, {{r}}.start + 801, 200)
+                       end as st,
+                     case when least({{r}}.start + 1000, c.n) < c.n
+                          then substr(c.content, {{r}}.start + 951, 50)
+                       end as st50
+              from {{r}} join cn c using (doc_id)))"""
+    _ck_emitted = ("(trim(substr(content, start + 1, ae - start), "
+                   "' ' || chr(9) || chr(10) || chr(13)) <> '')")
+    sql["kg_sql_chunks"] = f"""
+        with doc as materialized (
+          select doc_id,
+                 text || '. ' || text || '! ' || text || '? ' || text
+                   || '.' as content
+          from documents),
+        cn as materialized (
+          select doc_id, content, length(content)::BIGINT as n from doc),
+        rec as materialized (
+          with recursive r(doc_id, start, cnt) as (
+            select doc_id, 0::BIGINT, 0::BIGINT from cn where n >= 1
+            union all
+            select doc_id,
+                   greatest(start + 1, ae - 200),
+                   cnt + {_ck_emitted}::BIGINT
+            from ({_ck_step.format(r="r")})
+            where ae < n2)
+          select * from r),
+        steps as (
+          {_ck_step.format(r="rec")})
+        select doc_id,
+               doc_id::VARCHAR || '_' || cnt::VARCHAR as chunk_id,
+               cnt::INT as chunk_seq,
+               start::BIGINT as start_offset,
+               ae::BIGINT as end_offset,
+               substr(content, start + 1, ae - start) as content
+        from steps
+        where {_ck_emitted}
+    """
     # checkpoint_lineage (see q_checkpoint_lineage): the oracle replays
     # each stage's committed row total from the raw parquet; the
     # consistency/resume/seq invariants are literal `true` — the Spark
