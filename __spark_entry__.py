@@ -2253,6 +2253,47 @@ def q_kg_sql_chunks(spark, sf_dir):
         "content")
 
 
+_KG_PIPE_BAIT1 = " Acme Inc launched in New York with Entity Name present. "
+_KG_PIPE_BAIT2 = " University of Testing met Second Entity in London. "
+
+
+def q_kg_sql_pipeline_entities(spark, sf_dir):
+    """COMPOSED real-path prefix of the kg pipeline under one hash:
+    the REAL chunker mapInPandas (chunk_text, text/mod.rs:123-168)
+    feeding the REAL extractor mapInPandas (extract_from_chunk,
+    entity/mod.rs:97-187) — documents are lengthened with inline
+    entity bait (ORG suffix + prefix scans, LOCATION known names,
+    PERSON phase-1 known names) so entities land at chunk-relative
+    offsets, straddle chunk boundaries, and repeat across the 200-char
+    overlap.  The oracle chains the chunking recursive-CTE replay into
+    the kg_sql_entities extraction CTEs retargeted at the chunk rows —
+    any divergence in EITHER stage, or in how they compose (offsets,
+    truncated boundary entities, overlap duplicates), fails the hash."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.chunking import chunk_documents
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+
+    d = _docs(spark, sf_dir)
+    content = F.concat(F.col("text"), F.lit(_KG_PIPE_BAIT1),
+                       F.col("text"), F.lit(_KG_PIPE_BAIT2),
+                       F.col("text"), F.lit("."))
+    docs2 = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     content.alias("content"))
+    ch = chunk_documents(docs2)
+    cfg_ol = _dc_replace(DEFAULT_CONFIG,
+                         entity_types=("ORGANIZATION", "LOCATION"))
+    cfg_p = _dc_replace(DEFAULT_CONFIG, entity_types=("PERSON",),
+                        min_confidence=0.95)
+    out = extract_chunk_entities(ch, cfg_ol) \
+        .unionByName(extract_chunk_entities(ch, cfg_p))
+    return out.select(
+        "chunk_id", "entity_id", "name", "entity_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.size("mention_starts").cast("bigint").alias("n_mentions"),
+        "first_offset")
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """I1-I3 under the driver gate: a two-stage checkpointed run into a
     wiped workdir, then an IMMEDIATE same-run_id rerun that must
@@ -2339,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_persons": q_kg_sql_persons,
         "checkpoint_lineage": q_checkpoint_lineage,
         "kg_sql_chunks": q_kg_sql_chunks,
+        "kg_sql_pipeline_entities": q_kg_sql_pipeline_entities,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_stats": q_corpus_stats,
@@ -3713,11 +3755,13 @@ def oracle_sql() -> dict[str, str]:
               from {{r}} join cn c using (doc_id)))"""
     _ck_emitted = ("(trim(substr(content, start + 1, ae - start), "
                    "' ' || chr(9) || chr(10) || chr(13)) <> '')")
-    sql["kg_sql_chunks"] = f"""
-        with doc as materialized (
-          select doc_id,
-                 text || '. ' || text || '! ' || text || '? ' || text
-                   || '.' as content
+    def _ck_chain(content_expr: str) -> str:
+        """doc→cn→rec→steps chunking-replay CTE fragment for a given
+        per-document content expression (shared by kg_sql_chunks and
+        the composed kg_sql_pipeline_entities)."""
+        return f"""
+        doc as materialized (
+          select doc_id, {content_expr} as content
           from documents),
         cn as materialized (
           select doc_id, content, length(content)::BIGINT as n from doc),
@@ -3732,7 +3776,11 @@ def oracle_sql() -> dict[str, str]:
             where ae < n2)
           select * from r),
         steps as (
-          {_ck_step.format(r="rec")})
+          {_ck_step.format(r="rec")})"""
+
+    sql["kg_sql_chunks"] = "with " + _ck_chain(
+        "text || '. ' || text || '! ' || text || '? ' || text || '.'"
+    ) + f"""
         select doc_id,
                doc_id::VARCHAR || '_' || cnt::VARCHAR as chunk_id,
                cnt::INT as chunk_seq,
@@ -3742,6 +3790,34 @@ def oracle_sql() -> dict[str, str]:
         from steps
         where {_ck_emitted}
     """
+    # Composed chunker→extractor replay (see
+    # q_kg_sql_pipeline_entities): the chunking recursive chain feeds
+    # the SAME extraction CTEs as kg_sql_entities with `t` retargeted
+    # from tail-augmented documents to the emitted chunk rows (the
+    # fragment is source-agnostic past its head: every scan, the
+    # phase-1 parity islands, per-chunk dedup and mention arithmetic
+    # key on the generic doc_id/text columns).
+    _ent_tail = _kg_ent_ctes.split("from documents),", 1)[1]
+    sql["kg_sql_pipeline_entities"] = ("with " + _ck_chain(
+        f"text || '{_KG_PIPE_BAIT1}' || text || '{_KG_PIPE_BAIT2}' "
+        "|| text || '.'") + f""",
+        t as materialized (
+          select doc_id::VARCHAR || '_' || cnt::VARCHAR as doc_id,
+                 substr(content, start + 1, ae - start) as text
+          from steps
+          where {_ck_emitted}),""" + _ent_tail + """
+        select doc_id as chunk_id,
+               entity_type || '_'
+                 || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                 as entity_id,
+               name, entity_type,
+               round(confidence::DOUBLE, 6) as confidence,
+               (tot_inst * ((length(text) - length(replace(text, name, '')))
+                            // length(name)))::BIGINT as n_mentions,
+               (case when strpos(text, name) > 0 then strpos(text, name) - 1
+                     else 1152921504606846976 end)::BIGINT as first_offset
+        from agg
+    """)
     # checkpoint_lineage (see q_checkpoint_lineage): the oracle replays
     # each stage's committed row total from the raw parquet; the
     # consistency/resume/seq invariants are literal `true` — the Spark

@@ -129,7 +129,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "cross_rerank", "corpus_entities", "corpus_relations",
                  "qa_eval", "kg_sql_entities", "kg_sql_entities2",
                  "kg_sql_mentions", "kg_sql_triples2",
-                 "inferred_relations", "kg_sql_persons", "kg_sql_chunks"):
+                 "inferred_relations", "kg_sql_persons", "kg_sql_chunks",
+                 "kg_sql_pipeline_entities"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 
