@@ -2294,6 +2294,39 @@ def q_kg_sql_pipeline_entities(spark, sf_dir):
         "first_offset")
 
 
+def q_kg_sql_pipeline_triples(spark, sf_dir):
+    """The FULL composed kg-construction prefix under one hash:
+    real chunker → real extractor → real triple emission
+    (stages/triples.emit_triple_mentions: mention-presence filter,
+    (first_offset, entity_id) pair order, infer_relationship_type rule
+    table over the CHUNK context) rolled up per (subj, pred, obj).
+    Same bait-laced corpus as kg_sql_pipeline_entities; the oracle is
+    the composed chunking+extraction head plus the kg_sql_triples2
+    pair/rule tail, both source-agnostic past their heads."""
+    from dataclasses import replace as _dc_replace
+    from graphrag_rs_spark.config import DEFAULT_CONFIG
+    from graphrag_rs_spark.stages.chunking import chunk_documents
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+    from graphrag_rs_spark.stages.triples import emit_triple_mentions
+
+    d = _docs(spark, sf_dir)
+    content = F.concat(F.col("text"), F.lit(_KG_PIPE_BAIT1),
+                       F.col("text"), F.lit(_KG_PIPE_BAIT2),
+                       F.col("text"), F.lit("."))
+    docs2 = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     content.alias("content"))
+    ch = chunk_documents(docs2)
+    cfg_ol = _dc_replace(DEFAULT_CONFIG,
+                         entity_types=("ORGANIZATION", "LOCATION"))
+    cfg_p = _dc_replace(DEFAULT_CONFIG, entity_types=("PERSON",),
+                        min_confidence=0.95)
+    ce = extract_chunk_entities(ch, cfg_ol) \
+        .unionByName(extract_chunk_entities(ch, cfg_p))
+    tm = emit_triple_mentions(ce, ch)
+    return tm.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_context"))
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """I1-I3 under the driver gate: a two-stage checkpointed run into a
     wiped workdir, then an IMMEDIATE same-run_id rerun that must
@@ -2381,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_lineage": q_checkpoint_lineage,
         "kg_sql_chunks": q_kg_sql_chunks,
         "kg_sql_pipeline_entities": q_kg_sql_pipeline_entities,
+        "kg_sql_pipeline_triples": q_kg_sql_pipeline_triples,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_stats": q_corpus_stats,
@@ -3798,14 +3832,17 @@ def oracle_sql() -> dict[str, str]:
     # phase-1 parity islands, per-chunk dedup and mention arithmetic
     # key on the generic doc_id/text columns).
     _ent_tail = _kg_ent_ctes.split("from documents),", 1)[1]
-    sql["kg_sql_pipeline_entities"] = ("with " + _ck_chain(
+    # shared composed head: chunking chain → chunk rows as `t` → the
+    # full extraction CTE chain (ends at `agg`)
+    _pipe_head = ("with " + _ck_chain(
         f"text || '{_KG_PIPE_BAIT1}' || text || '{_KG_PIPE_BAIT2}' "
         "|| text || '.'") + f""",
         t as materialized (
           select doc_id::VARCHAR || '_' || cnt::VARCHAR as doc_id,
                  substr(content, start + 1, ae - start) as text
           from steps
-          where {_ck_emitted}),""" + _ent_tail + """
+          where {_ck_emitted}),""" + _ent_tail)
+    sql["kg_sql_pipeline_entities"] = (_pipe_head + """
         select doc_id as chunk_id,
                entity_type || '_'
                  || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
@@ -3818,6 +3855,12 @@ def oracle_sql() -> dict[str, str]:
                      else 1152921504606846976 end)::BIGINT as first_offset
         from agg
     """)
+    # Full composed prefix chunk→extract→pair→type→rollup: the same
+    # head plus the kg_sql_triples2 ments/tpairs/rule-table tail (also
+    # source-agnostic past `agg`), reused verbatim by slicing it off
+    # the already-built triples2 oracle string.
+    sql["kg_sql_pipeline_triples"] = (
+        _pipe_head + sql["kg_sql_triples2"][len(_kg_ent_ctes):])
     # checkpoint_lineage (see q_checkpoint_lineage): the oracle replays
     # each stage's committed row total from the raw parquet; the
     # consistency/resume/seq invariants are literal `true` — the Spark
