@@ -2397,7 +2397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries from the front).  Round-5 composition, in priority
         # order: (1) pack_bins — the r4 red row, re-certify the fix;
         # (2) the queries NEW this round (kg_sql_persons,
-        # checkpoint_lineage, kg_sql_chunks); (3) the 12 queries that
+        # checkpoint_lineage, kg_sql_chunks, and the composed
+        # real-path prefix kg_sql_pipeline_entities/_triples); (3) the 12 queries that
         # had never appeared in any driver window (VERDICT r4 #2);
         # (4) every query whose implementation or oracle changed in
         # round 4 (similarity prenormalized-dot, MMR duplicate-id) or
