@@ -2327,6 +2327,82 @@ def q_kg_sql_pipeline_triples(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_context"))
 
 
+def q_kg_sql_transcript_entities(spark, sf_dir):
+    """The REAL north-rule prefix under one driver hash: seeded
+    transcripts (generate_rows(120, seed=7) — sf-independent, so the
+    contract checks identically at any scale) → the real
+    assemble_documents (stable (conv_id, turn_idx) ordering) → the real
+    chunk_documents mapInPandas → the real extract_chunk_entities at
+    the DEFAULT config (PERSON/ORG/LOCATION, min_confidence 0.7) → the
+    real entities_table graph-level rollup (E5: max-confidence name
+    pick with (confidence, name) struct tie-break, summed mention
+    counts).  This is exactly the entity branch the kg pipeline tables
+    are built from, on generated conversational prose rather than
+    bait-tailed documents — the oracle embeds the turns as a VALUES
+    literal and composes assembly + chunking + extraction + rollup
+    replays end-to-end."""
+    from graphrag_rs_spark.datagen import generate_rows
+    from graphrag_rs_spark.stages.chunking import (
+        assemble_documents, chunk_documents)
+    from graphrag_rs_spark.stages.extraction import (
+        entities_table, extract_chunk_entities)
+
+    tr = spark.createDataFrame(generate_rows(120, seed=7, max_turns=40))
+    docs = assemble_documents(tr)
+    chunks = chunk_documents(docs)
+    ce = extract_chunk_entities(chunks)
+    ent = entities_table(ce)
+    return ent.select(
+        "entity_id", "name", "entity_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.col("mention_count").cast("bigint").alias("mention_count"))
+
+
+def q_kg_sql_transcript_mentions(spark, sf_dir):
+    """E2 on the transcript pipeline: the same real
+    assemble→chunk→extract prefix as q_kg_sql_transcript_entities fed
+    through the real mentions_table explode — one row per find_mentions
+    occurrence per chunk with offsets and the merged row confidence,
+    duplicate-instance multiplicity included.  Oracle: the shared
+    composed head + a recursive non-overlap occurrence scan."""
+    from graphrag_rs_spark.datagen import generate_rows
+    from graphrag_rs_spark.stages.chunking import (
+        assemble_documents, chunk_documents)
+    from graphrag_rs_spark.stages.extraction import (
+        extract_chunk_entities, mentions_table)
+
+    tr = spark.createDataFrame(generate_rows(120, seed=7, max_turns=40))
+    ce = extract_chunk_entities(chunk_documents(assemble_documents(tr)))
+    m = mentions_table(ce)
+    return m.select(
+        "chunk_id", "entity_id",
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        F.col("end_offset").cast("bigint").alias("end_offset"),
+        F.round("confidence", 6).alias("confidence"))
+
+
+def q_kg_sql_transcript_triples(spark, sf_dir):
+    """The FULL north-rule chain on conversational prose under one
+    hash: seeded transcripts → real assembly → real chunker → real
+    extractor (DEFAULT config) → real emit_triple_mentions (mention
+    filter, (first_offset, entity_id) pair order, relationship rule
+    table over chunk context) rolled up per (subj, pred, obj).  Oracle:
+    the shared transcript-pipeline head bridged into the
+    kg_sql_triples2 pair/rule tail."""
+    from graphrag_rs_spark.datagen import generate_rows
+    from graphrag_rs_spark.stages.chunking import (
+        assemble_documents, chunk_documents)
+    from graphrag_rs_spark.stages.extraction import extract_chunk_entities
+    from graphrag_rs_spark.stages.triples import emit_triple_mentions
+
+    tr = spark.createDataFrame(generate_rows(120, seed=7, max_turns=40))
+    chunks = chunk_documents(assemble_documents(tr))
+    ce = extract_chunk_entities(chunks)
+    tm = emit_triple_mentions(ce, chunks)
+    return tm.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_context"))
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """I1-I3 under the driver gate: a two-stage checkpointed run into a
     wiped workdir, then an IMMEDIATE same-run_id rerun that must
@@ -2416,6 +2492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_chunks": q_kg_sql_chunks,
         "kg_sql_pipeline_entities": q_kg_sql_pipeline_entities,
         "kg_sql_pipeline_triples": q_kg_sql_pipeline_triples,
+        "kg_sql_transcript_entities": q_kg_sql_transcript_entities,
+        "kg_sql_transcript_mentions": q_kg_sql_transcript_mentions,
+        "kg_sql_transcript_triples": q_kg_sql_transcript_triples,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_stats": q_corpus_stats,
@@ -3790,14 +3869,15 @@ def oracle_sql() -> dict[str, str]:
               from {{r}} join cn c using (doc_id)))"""
     _ck_emitted = ("(trim(substr(content, start + 1, ae - start), "
                    "' ' || chr(9) || chr(10) || chr(13)) <> '')")
-    def _ck_chain(content_expr: str) -> str:
+    def _ck_chain(content_expr: str, src: str = "documents") -> str:
         """doc→cn→rec→steps chunking-replay CTE fragment for a given
-        per-document content expression (shared by kg_sql_chunks and
-        the composed kg_sql_pipeline_entities)."""
+        per-document content expression over a given source relation
+        (shared by kg_sql_chunks, the composed kg_sql_pipeline_* and
+        the transcript-pipeline replay)."""
         return f"""
         doc as materialized (
           select doc_id, {content_expr} as content
-          from documents),
+          from {src}),
         cn as materialized (
           select doc_id, content, length(content)::BIGINT as n from doc),
         rec as materialized (
@@ -4019,6 +4099,133 @@ def oracle_sql() -> dict[str, str]:
                (case when strpos(text, name) > 0 then strpos(text, name) - 1
                      else 1152921504606846976 end)::BIGINT as first_offset
         from agg
+    """
+    # Transcript-pipeline replay (see q_kg_sql_transcript_entities):
+    # the REAL north-rule prefix — turns → assemble → chunk → extract →
+    # graph-level entity rollup — against a fully composed oracle.  The
+    # seeded transcript set (generate_rows(120, seed=7), sf-independent
+    # so the contract checks identically at every scale) embeds as a
+    # VALUES literal (~55 KB, all-ASCII, quote-free by construction);
+    # assembly is string_agg over turn_idx (the stable-ordering
+    # contract), chunking is the recursive cursor replay, extraction
+    # composes the ORG/LOC scan fragment (sliced from the
+    # kg_sql_entities oracle) with the PERSON phase-1..3 machinery
+    # (sliced from the kg_sql_persons oracle; phase 4's 0.6 confidence
+    # cannot pass the 0.7 default cut and it makes no marks, so its
+    # omission is exact), and the rollup replays entities_table
+    # (max-confidence pick with (confidence, name) struct tie-break,
+    # summed mention counts).
+    from graphrag_rs_spark.datagen import generate_rows as _gen_rows
+    _tr_rows = _gen_rows(120, seed=7, max_turns=40)
+    for _r in _tr_rows:
+        assert "'" not in _r["text"] and _r["text"].isascii()
+    _turn_vals = ", ".join(
+        f"('{r['conv_id']}', {r['turn_idx']}, '{r['text']}')"
+        for r in _tr_rows)
+    _p_sql = sql["kg_sql_persons"]
+    _pa, _pb = (_p_sql.find("tk as materialized ("),
+                _p_sql.find("e4 as ("))
+    assert 0 < _pa < _pb
+    _persons_frag = _p_sql[_pa:_pb].rstrip().rstrip(",")
+    _e_sql = sql["kg_sql_entities"]
+    _ea, _eb = (_e_sql.find("from documents),") + len("from documents),"),
+                _e_sql.find("words as ("))
+    assert 0 < _ea < _eb
+    _orgloc_frag = _e_sql[_ea:_eb].rstrip().rstrip(",")
+    _tr_head = (f"""
+        with turns(conv_id, turn_idx, text) as (values {_turn_vals}),
+        documents_t as materialized (
+          select conv_id as doc_id,
+                 string_agg(text, chr(10) order by turn_idx) as text
+          from turns group by conv_id),"""
+        + _ck_chain("text", src="documents_t") + f""",
+        t as materialized (
+          select doc_id || '_' || cnt::VARCHAR as doc_id,
+                 substr(content, start + 1, ae - start) as text
+          from steps
+          where {_ck_emitted}),
+        {_orgloc_frag},
+        pt as (select doc_id, text from t),
+        {_persons_frag},
+        e1p as (select doc_id, nm as name, 0.95::DOUBLE as confidence
+                from kept1),
+        instp as (
+          select doc_id, name, entity_type, confidence::DOUBLE as confidence
+          from orgloc
+          union all
+          select doc_id, name, 'PERSON', confidence from e1p
+          union all
+          select doc_id, name, 'PERSON', confidence from e2
+          union all
+          select doc_id, name, 'PERSON', confidence from e3),
+        cagg as (
+          select i.doc_id, t.text, i.name, i.entity_type,
+                 max(i.confidence) as confidence,
+                 count(*)::BIGINT as tot_inst
+          from instp i join t using (doc_id)
+          group by i.doc_id, t.text, i.name, i.entity_type),
+        cment as (
+          select *,
+                 (tot_inst * ((length(text) - length(replace(text, name, '')))
+                              // length(name)))::BIGINT as n_mentions
+          from cagg)""")
+    sql["kg_sql_transcript_entities"] = _tr_head + f"""
+        select entity_type || '_'
+                 || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                 as entity_id,
+               (max({{'c': confidence, 'n': name}})).n as name,
+               min(entity_type) as entity_type,
+               round(max(confidence), 6) as confidence,
+               sum(n_mentions)::BIGINT as mention_count
+        from cment
+        group by entity_id
+    """
+    # triples variant: the same head + the kg_sql_triples2 pair/rule
+    # tail (source-agnostic past `agg` — bridged via one aliasing CTE).
+    _t2_sql = sql["kg_sql_triples2"]
+    _t2a = _t2_sql.find(", ments as (")
+    assert _t2a > 0
+    sql["kg_sql_transcript_triples"] = (_tr_head + """,
+        agg as (select doc_id, text, name, entity_type, confidence,
+                       tot_inst
+                from cment)""" + _t2_sql[_t2a:])
+    # mentions variant over the same head: every non-overlapping cased
+    # occurrence per chunk entity (recursive scan, kg_sql_mentions
+    # pattern), replicated tot_inst times (merged duplicate instances
+    # concatenate their identical mention lists), with the chunk-entity
+    # row's merged confidence (mentions_table explodes the row conf).
+    sql["kg_sql_transcript_mentions"] = _tr_head + """,
+        occ as (
+          with recursive o(doc_id, name, entity_type, confidence,
+                           tot_inst, pos0) as (
+            select c.doc_id, c.name, c.entity_type, c.confidence,
+                   c.tot_inst, (strpos(c.text, c.name) - 1)::BIGINT
+            from cment c where strpos(c.text, c.name) > 0
+            union all
+            select o.doc_id, o.name, o.entity_type, o.confidence,
+                   o.tot_inst,
+                   o.pos0 + length(o.name)
+                     + strpos(substr(c2.text,
+                                     (o.pos0 + length(o.name) + 1)::INT),
+                              o.name) - 1
+            from o join cment c2
+              on c2.doc_id = o.doc_id and c2.name = o.name
+             and c2.entity_type = o.entity_type
+            where strpos(substr(c2.text,
+                                (o.pos0 + length(o.name) + 1)::INT),
+                         o.name) > 0)
+          select * from o)
+        select chunk_id, entity_id, start_offset, end_offset, confidence
+        from (
+          select doc_id as chunk_id,
+                 entity_type || '_'
+                   || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                   as entity_id,
+                 pos0::BIGINT as start_offset,
+                 (pos0 + length(name))::BIGINT as end_offset,
+                 round(confidence, 6) as confidence,
+                 unnest(generate_series(1, tot_inst)) as rep
+          from occ)
     """
     # inference.rs replay (see q_inferred_relations): dictionary-NER
     # CTEs (same shape as _kg_sql_base, '_' ids) + the IDENTICAL
