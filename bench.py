@@ -130,7 +130,8 @@ def bench_queries(spark, sf_dir: str, kg_convs: int) -> dict[str, float]:
                  "qa_eval", "kg_sql_entities", "kg_sql_entities2",
                  "kg_sql_mentions", "kg_sql_triples2",
                  "inferred_relations", "kg_sql_persons", "kg_sql_chunks",
-                 "kg_sql_pipeline_entities", "kg_sql_pipeline_triples"):
+                 "kg_sql_pipeline_entities", "kg_sql_pipeline_triples",
+                 "kg_sql_transcript_triples"):
         run(name, lambda name=name: _noop(q[name](spark, sf_dir)))
     return timings
 
