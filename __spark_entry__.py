@@ -2403,6 +2403,40 @@ def q_kg_sql_transcript_triples(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_context"))
 
 
+def q_kg_sql_transcript_canonical(spark, sf_dir):
+    """L1-L3 on the transcript pipeline: the real
+    assemble→chunk→extract→rollup prefix, the SQL-expressible linker
+    rule (same type + shared first token + levenshtein ≥ τ — the
+    kg_sql_canonical_map rule), then the REAL canonical_from_edges
+    (small-star/large-star CC closure + max-(confidence, entity_id)
+    canonical pick).  Oracle: shared transcript head + the rule in SQL
+    + transitive-closure recursion + the same pick ordering."""
+    from graphrag_rs_spark.datagen import generate_rows
+    from graphrag_rs_spark.stages.canonicalize import canonical_from_edges
+    from graphrag_rs_spark.stages.chunking import (
+        assemble_documents, chunk_documents)
+    from graphrag_rs_spark.stages.extraction import (
+        entities_table, extract_chunk_entities)
+
+    tr = spark.createDataFrame(generate_rows(120, seed=7, max_turns=40))
+    ce = extract_chunk_entities(chunk_documents(assemble_documents(tr)))
+    ent = entities_table(ce)
+    a, b = ent.alias("a"), ent.alias("b")
+    lev_sim = 1.0 - F.levenshtein(F.col("a.name"), F.col("b.name")) \
+        .cast("double") / F.greatest(F.length("a.name"),
+                                     F.length("b.name")).cast("double")
+    edges = a.join(b,
+                   (F.col("a.entity_type") == F.col("b.entity_type"))
+                   & (F.split(F.col("a.name"), " ")[0]
+                      == F.split(F.col("b.name"), " ")[0])
+                   & (F.col("a.entity_id") < F.col("b.entity_id"))) \
+        .filter(lev_sim >= F.lit(_KG_SQL_TAU)) \
+        .select(F.col("a.entity_id").alias("src"),
+                F.col("b.entity_id").alias("dst"))
+    cmap = canonical_from_edges(ent, edges)
+    return cmap.select("entity_id", "canonical_id")
+
+
 def q_checkpoint_lineage(spark, sf_dir):
     """I1-I3 under the driver gate: a two-stage checkpointed run into a
     wiped workdir, then an IMMEDIATE same-run_id rerun that must
@@ -2495,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sql_transcript_entities": q_kg_sql_transcript_entities,
         "kg_sql_transcript_mentions": q_kg_sql_transcript_mentions,
         "kg_sql_transcript_triples": q_kg_sql_transcript_triples,
+        "kg_sql_transcript_canonical": q_kg_sql_transcript_canonical,
         "sample_fraction": q_sample_fraction,
         "sample_stratified": q_sample_stratified,
         "corpus_stats": q_corpus_stats,
@@ -4179,6 +4214,51 @@ def oracle_sql() -> dict[str, str]:
                sum(n_mentions)::BIGINT as mention_count
         from cment
         group by entity_id
+    """
+    # canonicalization variant: global entity rollup → the
+    # SQL-expressible linker rule (same type + shared first token +
+    # levenshtein similarity ≥ τ, the kg_sql_canonical_map rule) →
+    # transitive-closure CC + max-(confidence, node) canonical pick —
+    # the REAL canonical_from_edges closure/pick code on the Spark
+    # side.  Components are type-homogeneous (edges require equal
+    # types), so the cross-engine float-representation difference in
+    # ORG vs PERSON confidence levels can never reorder a pick.
+    sql["kg_sql_transcript_canonical"] = _tr_head + f""",
+        ents as (
+          select entity_type || '_'
+                   || regexp_replace(lower(name), '[^a-z0-9_]+', '', 'g')
+                   as entity_id,
+                 (max({{'c': confidence, 'n': name}})).n as name,
+                 min(entity_type) as entity_type,
+                 max(confidence) as confidence
+          from cment group by 1),
+        sim_edges as (
+          select a.entity_id as ea, b.entity_id as eb
+          from ents a join ents b
+            on a.entity_type = b.entity_type
+           and string_split(a.name, ' ')[1] = string_split(b.name, ' ')[1]
+           and a.entity_id < b.entity_id
+          where 1.0 - levenshtein(a.name, b.name)::DOUBLE
+                  / greatest(length(a.name), length(b.name))
+                >= {_KG_SQL_TAU}),
+        bi as (select ea, eb from sim_edges
+               union select eb as ea, ea as eb from sim_edges),
+        comps as (
+          with recursive r(node, reach) as (
+            select entity_id, entity_id from ents
+            union
+            select r.node, bi.eb from r join bi on bi.ea = r.reach)
+          select node, min(reach) as component from r group by node),
+        cmap as (
+          select c.node as entity_id, canon.canonical_id
+          from comps c join (
+            select component, node as canonical_id from (
+              select c2.component, c2.node,
+                     row_number() over (partition by c2.component
+                       order by e.confidence desc, c2.node desc) as rn
+              from comps c2 join ents e on e.entity_id = c2.node)
+            where rn = 1) canon using (component))
+        select entity_id, canonical_id from cmap
     """
     # triples variant: the same head + the kg_sql_triples2 pair/rule
     # tail (source-agnostic past `agg` — bridged via one aliasing CTE).
