@@ -835,6 +835,30 @@ def main() -> int:
         "projection for the bait tails. No shuffle at all — extraction "
         "is embarrassingly parallel over chunks at 100 TB.", trim(p)))
 
+    # round-5: the composed transcript chain — the north-rule prefix
+    p = plan_of(q["kg_sql_transcript_triples"](spark, sf_dir))
+    # the pair emission self-joins the extractor output, so the
+    # chunker+extractor subtree appears once per join side in this
+    # contract query's plan (the real pipeline materializes
+    # chunk_entities once via stage checkpointing); the invariant that
+    # matters is Arrow-batched-only Python and no cartesian blowup
+    n_nodes = len(set(re.findall(r"\(\d+\) MapInPandas", p)))
+    check("transcript chain: Python is Arrow-batched MapInPandas only",
+          n_nodes >= 2 and "BatchEvalPython" not in p,
+          f"distinct MapInPandas nodes={n_nodes}")
+    check("transcript chain: no cartesian products",
+          "CartesianProduct" not in p, "")
+    SECTIONS.append((
+        "kg_sql_transcript_triples — composed north-rule chain",
+        "Seeded transcripts through the REAL assembly (one conv_id "
+        "shuffle + in-aggregate sort), the REAL chunker and extractor "
+        "(the chain's only Python, both Arrow-batched; the subtree "
+        "appears once per side of the pair self-join here — the real "
+        "pipeline checkpoints chunk_entities so it executes once), "
+        "pair emission and rule typing in codegen, one rollup shuffle. "
+        "The 100 TB shape: Python touches each byte a bounded number "
+        "of times, everything else is JVM.", trim(p)))
+
     failures = [c for c in CHECKS if not c[1]]
 
     out = ["# PLANS — physical-plan audit (explain formatted)", "",
